@@ -1,0 +1,137 @@
+"""CIGAR parsing and algebra over op arrays.
+
+The reference keeps CIGARs as raw ASCII and re-parses byte ranges per window
+(src/aligners.rs:252-293). Here every alignment's CIGAR is parsed exactly once
+into parallel numpy arrays ``(codes, lens)`` plus cumulative target/query
+positions, and windows reference *op index* ranges — cheaper and
+vectorisation-friendly.
+
+Op codes: M=0 (match-or-mismatch), I=1, D=2.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+M, I, D = 0, 1, 2
+
+_CIGAR_RE = re.compile(rb"(\d+)([MID])")
+_CODE_OF = {b"M": M, b"I": I, b"D": D}
+
+
+@dataclass
+class Cigar:
+    """Parsed CIGAR with cumulative coordinates.
+
+    ``t_cum[i]`` / ``q_cum[i]`` are the target / query bases consumed by ops
+    ``[0, i)``; hence ``t_cum[-1]`` is the total target span.
+    """
+
+    codes: np.ndarray  # uint8 [n_ops]
+    lens: np.ndarray  # int32 [n_ops]
+    t_cum: np.ndarray  # int64 [n_ops + 1]
+    q_cum: np.ndarray  # int64 [n_ops + 1]
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+
+def parse_cigar(cigar: bytes) -> Cigar:
+    ops = _CIGAR_RE.findall(cigar)
+    n = len(ops)
+    # Validate: the regex must consume the whole string.
+    if sum(len(l) + 1 for l, _ in ops) != len(cigar):
+        raise ValueError(f"Invalid CIGAR: {cigar[:60]!r}")
+    codes = np.empty(n, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int32)
+    for i, (l, op) in enumerate(ops):
+        codes[i] = _CODE_OF[op]
+        lens[i] = int(l)
+    t_adv = np.where(codes != I, lens, 0).astype(np.int64)
+    q_adv = np.where(codes != D, lens, 0).astype(np.int64)
+    t_cum = np.zeros(n + 1, dtype=np.int64)
+    q_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(t_adv, out=t_cum[1:])
+    np.cumsum(q_adv, out=q_cum[1:])
+    return Cigar(codes, lens, t_cum, q_cum)
+
+
+def cigar_to_string(cig: Cigar) -> bytes:
+    sym = b"MID"
+    return b"".join(b"%d%c" % (l, sym[c]) for c, l in zip(cig.codes, cig.lens))
+
+
+def slice_lengths(
+    cig: Cigar, op_start: int, start_off: int, op_end: int, end_off: int
+) -> np.ndarray:
+    """Effective op lengths of the window slice ``ops[op_start:op_end]``.
+
+    The first op loses ``start_off`` leading bases, the last op is truncated to
+    ``end_off`` consumed bases; a single-op slice spans
+    ``end_off - start_off`` (reference: src/features.rs:181-188).
+    """
+    lens = cig.lens[op_start:op_end].astype(np.int64)
+    n = lens.shape[0]
+    if n == 0:
+        return lens
+    if n == 1:
+        lens = lens.copy()
+        lens[0] = end_off - start_off
+        return lens
+    lens = lens.copy()
+    lens[0] -= start_off
+    lens[-1] = end_off
+    return lens
+
+
+def window_has_long_indel(
+    cig: Cigar, op_start: int, op_end: int, max_len: int
+) -> bool:
+    """True if any I/D op in the slice is longer than ``max_len``.
+
+    Mirrors the reference filter, which tests *raw* op lengths of the byte
+    slice without offset truncation (src/features.rs:315-324).
+    """
+    codes = cig.codes[op_start:op_end]
+    lens = cig.lens[op_start:op_end]
+    return bool(np.any((codes != M) & (lens > max_len)))
+
+
+def window_accuracy(
+    cig: Cigar,
+    op_start: int,
+    start_off: int,
+    op_end: int,
+    end_off: int,
+    tseq: np.ndarray,
+    qseq: np.ndarray,
+) -> float:
+    """Window-local alignment accuracy m / (m + s + i + d).
+
+    Match ops are split into true matches / substitutions by comparing the
+    decoded target and query bases (reference: src/features.rs:585-679).
+    ``tseq`` / ``qseq`` are the window-local target and oriented query bytes.
+    """
+    codes = cig.codes[op_start:op_end]
+    lens = slice_lengths(cig, op_start, start_off, op_end, end_off)
+
+    t_adv = np.where(codes != I, lens, 0)
+    q_adv = np.where(codes != D, lens, 0)
+    t_pos = np.concatenate([[0], np.cumsum(t_adv)])
+    q_pos = np.concatenate([[0], np.cumsum(q_adv)])
+
+    m = 0
+    s = 0
+    for k in np.nonzero(codes == M)[0]:
+        l = int(lens[k])
+        tp, qp = int(t_pos[k]), int(q_pos[k])
+        eq = int(np.count_nonzero(tseq[tp : tp + l] == qseq[qp : qp + l]))
+        m += eq
+        s += l - eq
+    i = int(np.sum(lens[codes == I]))
+    d = int(np.sum(lens[codes == D]))
+    total = m + s + i + d
+    return m / total if total else 0.0

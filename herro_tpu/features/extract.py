@@ -1,0 +1,217 @@
+"""Per-target-read feature extraction.
+
+Orchestrates the reference's `extract_features` (src/features.rs:326-583):
+
+1. split every alignment's CIGAR into target windows;
+2. drop overlap-windows containing an indel > 50 bp;
+3. sort each window's overlaps by window-local alignment accuracy;
+4. build the pileup matrices + first-pass supported positions;
+5. haplotype re-rank: score each query read by its match ratio against the
+   target at supported columns across *all* windows, keep the top-30 rows,
+   drop pileup columns that became all-gap, recompute supported positions;
+6. hand the finished windows to a sink (npy dump for training, or the
+   inference batcher).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..cigar.ops import window_accuracy, window_has_long_indel
+from ..cigar.windowing import OverlapWindow, extract_windows
+from ..constants import GAP_FWD, GAP_REV, MAX_INDEL_LEN, NO_ALN, TOP_K
+from ..io.fastx import ReadSet
+from ..overlaps.paf import Alignment, STRAND_REV
+from .pileup import fill_window_pileup, get_supported, window_max_ins
+
+# Uppercase fold that leaves '#' and '*' untouched — the ratio comparison of
+# the reference uses char::to_ascii_uppercase (src/features.rs:486-487).
+_UPPER = np.arange(256, dtype=np.uint8)
+for _l, _u in zip(b"acgt", b"ACGT"):
+    _UPPER[_l] = _u
+
+
+@dataclass
+class WindowFeatures:
+    """One finished window example handed to a sink."""
+
+    rid: int
+    wid: int
+    n_alns: int  # min(#overlap rows, TOP_K)
+    n_total_wins: int
+    bases: np.ndarray  # uint8 [L, 31] ascii pileup bytes
+    quals: np.ndarray  # uint8 [L, 31] phred+33
+    supported: np.ndarray  # structured (pos u16, ins u8)
+    qids: list[int]  # query read ids, ranked
+
+
+def _query_window_bytes(
+    reads: ReadSet, aln: Alignment, ow: OverlapWindow, rid: int
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Oriented query bases + quals of one overlap window
+    (reference: src/features.rs:97-153)."""
+    if aln.tid == rid:
+        qid, q0, q1 = aln.qid, aln.qstart, aln.qend
+    else:
+        qid, q0, q1 = aln.tid, aln.tstart, aln.tend
+    rev = aln.strand == STRAND_REV
+    if rev:
+        start, end = q1 - ow.qend, q1 - ow.qstart
+        seq = reads.seq(qid, start, end, rc=True)
+        qual = reads.qual(qid, start, end)[::-1]
+    else:
+        start, end = q0 + ow.qstart, q0 + ow.qend
+        seq = reads.seq(qid, start, end)
+        qual = reads.qual(qid, start, end)
+    return seq, qual, rev
+
+
+def extract_read_features(
+    rid: int,
+    reads: ReadSet,
+    alignments: list[Alignment],
+    window_size: int,
+) -> list[WindowFeatures]:
+    """All window features of one target read, fully ranked and re-ranked."""
+    read_len = reads.length(rid)
+    tseq = reads.seq(rid)
+    tqual = reads.qual(rid)
+    n_windows = (read_len + window_size - 1) // window_size
+
+    windows: list[list[OverlapWindow]] = [[] for _ in range(n_windows)]
+    cigars = [aln.cigar for aln in alignments]
+    for aln_idx, aln in enumerate(alignments):
+        # The live path always sees the read as the target (src/features.rs:349).
+        if aln.tid == rid:
+            t0, t1, tl = aln.tstart, aln.tend, aln.tlen
+            q0, q1 = aln.qstart, aln.qend
+        else:
+            t0, t1, tl = aln.qstart, aln.qend, aln.qlen
+            q0, q1 = aln.tstart, aln.tend
+        extract_windows(
+            windows, aln_idx, aln.cigar, t0, t1, tl, q0, q1, window_size
+        )
+
+    staged = []
+    for wid in range(n_windows):
+        win_start = wid * window_size
+        win_len = (
+            read_len - win_start if wid == n_windows - 1 else window_size
+        )
+
+        # Long-indel filter (src/features.rs:376-383).
+        ows = [
+            ow
+            for ow in windows[wid]
+            if not window_has_long_indel(
+                cigars[ow.aln_idx], ow.op_start, ow.op_end, MAX_INDEL_LEN
+            )
+        ]
+
+        # Decode each overlap's oriented query slice once; reuse for the
+        # accuracy sort and the pileup fill.
+        qdata = [
+            _query_window_bytes(reads, alignments[ow.aln_idx], ow, rid)
+            for ow in ows
+        ]
+
+        # Stable sort by window-local accuracy, descending
+        # (src/features.rs:386-409).
+        accs = [
+            window_accuracy(
+                cigars[ow.aln_idx],
+                ow.op_start,
+                ow.start_off,
+                ow.op_end,
+                ow.end_off,
+                tseq[ow.tstart : win_start + win_len],
+                qdata[k][0],
+            )
+            for k, ow in enumerate(ows)
+        ]
+        order = sorted(range(len(ows)), key=lambda k: -accs[k])
+        ows = [ows[k] for k in order]
+        qdata = [qdata[k] for k in order]
+
+        max_ins = window_max_ins(ows, cigars, win_start, win_len)
+        bases, quals = fill_window_pileup(
+            ows,
+            cigars,
+            [q[2] for q in qdata],
+            [q[0] for q in qdata],
+            [q[1] for q in qdata],
+            tseq,
+            tqual,
+            win_start,
+            win_len,
+            max_ins,
+            TOP_K,
+        )
+        supported = get_supported(bases)
+        qids = [alignments[ow.aln_idx].other_id(rid) for ow in ows]
+        staged.append((wid, bases, quals, supported, qids))
+
+    # -- Haplotype phase scoring across all windows (src/features.rs:461-509).
+    num = {}
+    den = {}
+    for wid, bases, quals, supported, qids in staged:
+        if len(supported) == 0 or not qids:
+            continue
+        tgt = bases[:, 0]
+        anchors = np.nonzero(tgt != GAP_FWD)[0]
+        flat = anchors[supported["pos"].astype(np.int64)] + supported["ins"]
+        # Only columns where the target has a real base participate.
+        keep = tgt[flat] != GAP_FWD
+        flat = flat[keep]
+        if flat.size == 0:
+            continue
+        t_up = _UPPER[tgt[flat]]
+        for row, qid in enumerate(qids, start=1):
+            q_up = _UPPER[bases[flat, row]]
+            n = int(np.count_nonzero(q_up == t_up))
+            num[qid] = num.get(qid, 0) + n
+            den[qid] = den.get(qid, 0) + (flat.size - n)
+
+    def score(qid: int) -> float:
+        n = num.get(qid, 0)
+        d = den.get(qid, 0)
+        t = n + d
+        return (n / t) * math.log(t + 1.0) if t else 0.0
+
+    # -- Re-rank rows, keep top-30 queries + target (src/features.rs:502-579).
+    out: list[WindowFeatures] = []
+    for wid, bases, quals, supported, qids in staged:
+        scores = [math.inf] + [score(q) for q in qids]
+        sr = sorted(range(len(scores)), key=lambda i: -scores[i])
+        n_cols = bases.shape[1]
+        col_order = sr[: TOP_K + 1] + list(range(len(sr), TOP_K + 1))
+        new_bases = bases[:, col_order]
+        new_quals = quals[:, col_order]
+
+        # Drop pileup columns that hold no real base among kept rows.
+        non_dot = new_bases != NO_ALN
+        gapish = (new_bases == GAP_FWD) | (new_bases == GAP_REV)
+        all_gap = ~np.any(non_dot & ~gapish, axis=1)
+        retain = ~all_gap
+        new_bases = np.ascontiguousarray(new_bases[retain])
+        new_quals = np.ascontiguousarray(new_quals[retain])
+
+        new_supported = get_supported(new_bases)
+        new_qids = [qids[i - 1] for i in sr[1:]]
+
+        out.append(
+            WindowFeatures(
+                rid=rid,
+                wid=wid,
+                n_alns=min(len(new_qids), TOP_K),
+                n_total_wins=n_windows,
+                bases=new_bases,
+                quals=new_quals,
+                supported=new_supported,
+                qids=new_qids,
+            )
+        )
+    return out

@@ -1,0 +1,84 @@
+import io
+
+from herro_tpu.overlaps.batches import BatchWriter, list_batches, read_batch
+from herro_tpu.overlaps.paf import STRAND_REV, parse_paf
+
+
+def _row(q, t, cigar=b"10M", strand=b"+"):
+    return b"\t".join(
+        [
+            q,
+            b"100",
+            b"0",
+            b"50",
+            strand,
+            t,
+            b"120",
+            b"10",
+            b"60",
+            b"40",
+            b"50",
+            b"60",
+            b"cg:Z:" + cigar,
+        ]
+    )
+
+
+NAMES = {b"a": 0, b"b": 1, b"c": 2}
+
+
+def test_parse_groups_by_target():
+    rows = [_row(b"a", b"b"), _row(b"c", b"b"), _row(b"a", b"c")]
+    out = parse_paf(rows, NAMES)
+    assert set(out.keys()) == {1, 2}
+    assert len(out[1]) == 2
+    assert out[1][0].qid == 0 and out[1][0].tid == 1
+    assert out[1][0].tstart == 10 and out[1][0].tend == 60
+
+
+def test_first_wins_dedup():
+    rows = [_row(b"a", b"b", b"10M"), _row(b"a", b"b", b"20M")]
+    out = parse_paf(rows, NAMES)
+    assert len(out[1]) == 1
+    assert out[1][0].cigar.lens.tolist() == [10]
+
+
+def test_drops_self_and_unknown():
+    rows = [_row(b"a", b"a"), _row(b"zz", b"b"), _row(b"a", b"zz")]
+    assert parse_paf(rows, NAMES) == {}
+
+
+def test_core_filter_on_target():
+    rows = [_row(b"a", b"b"), _row(b"b", b"c")]
+    out = parse_paf(rows, NAMES, core={"c"})
+    assert set(out.keys()) == {2}
+
+
+def test_strand_and_cigar():
+    rows = [_row(b"a", b"b", b"5M2I3D1M", b"-")]
+    aln = parse_paf(rows, NAMES)[1][0]
+    assert aln.strand == STRAND_REV
+    assert aln.cigar.codes.tolist() == [0, 1, 2, 0]
+    assert aln.cigar.lens.tolist() == [5, 2, 3, 1]
+    assert aln.cigar.t_cum.tolist() == [0, 5, 5, 8, 9]
+    assert aln.cigar.q_cum.tolist() == [0, 5, 7, 7, 8]
+
+
+def test_raw_passthrough_writer():
+    buf = io.BytesIO()
+    rows = [_row(b"a", b"b"), _row(b"a", b"a")]
+    parse_paf(rows, NAMES, raw_writer=buf)
+    # only the surviving row is persisted
+    assert buf.getvalue() == rows[0] + b"\n"
+
+
+def test_batch_roundtrip(tmp_path):
+    lines = [_row(b"a", b"b") + b"\n", _row(b"c", b"b") + b"\n"]
+    with BatchWriter(str(tmp_path), 0, [b"a", b"b"]) as bw:
+        for l in lines:
+            bw.write(l)
+    paths = list_batches(str(tmp_path))
+    assert len(paths) == 1
+    ids, it = read_batch(paths[0])
+    assert ids == [b"a", b"b"]
+    assert list(it) == lines
