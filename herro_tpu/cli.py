@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Two subcommands mirroring the reference binary (src/main.rs:17-112):
+
+    python -m herro_tpu.cli features  [--read-alns D | --write-alns D] \\
+        [-w W] [-t N] READS OUTPUT_DIR
+    python -m herro_tpu.cli inference [--read-alns D | --write-alns D] \\
+        [-w W] [-t N] -m MODEL [-b B] [-c CLUSTER] [--devices ...] READS OUTPUT
+
+``--devices`` replaces the reference's CUDA device list with a count of local
+TPU chips to use data-parallel (default: all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .constants import DEFAULT_WINDOW_SIZE
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    g = p.add_mutually_exclusive_group()
+    g.add_argument(
+        "--read-alns",
+        help="folder with *.oec.zst alignment batches to read",
+    )
+    g.add_argument(
+        "--write-alns",
+        help="folder where *.oec.zst alignment batches will be saved",
+    )
+    p.add_argument(
+        "-w",
+        "--window-size",
+        type=int,
+        default=DEFAULT_WINDOW_SIZE,
+        help="target chunking window size (default 4096)",
+    )
+    p.add_argument(
+        "-t",
+        "--feat-gen-threads",
+        type=int,
+        default=1,
+        help="feature generation threads (default 1)",
+    )
+    p.add_argument("reads", help="fastq reads, optionally gzipped (file or dir)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="herro-tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    pf = sub.add_parser("features", help="generate training features")
+    _add_common(pf)
+    pf.add_argument("output", help="folder where features will be stored")
+
+    pi = sub.add_parser("inference", help="error-correct reads")
+    _add_common(pi)
+    pi.add_argument(
+        "-m",
+        "--model",
+        required=True,
+        help="model checkpoint dir, or a named config (tiny/r10/r9)",
+    )
+    pi.add_argument(
+        "-b", "--batch-size", type=int, default=32, help="windows per device batch"
+    )
+    pi.add_argument(
+        "-c", "--cluster", default="", help="path to a cluster .part file"
+    )
+    pi.add_argument(
+        "--devices",
+        type=int,
+        default=0,
+        help="number of local devices for data parallelism (0 = all)",
+    )
+    pi.add_argument("output", help="corrected reads FASTA path")
+    return ap
+
+
+def _load(args, core=None, neighbour=None):
+    from .io.fastx import load_reads
+
+    t0 = time.time()
+    reads = load_reads(args.reads, args.window_size, core, neighbour)
+    print(
+        f"Parsed {len(reads)} reads in {time.time() - t0:.1f}s.",
+        file=sys.stderr,
+    )
+    return reads
+
+
+def cmd_features(args) -> None:
+    from .features.extract import extract_read_features
+    from .features.npy import write_window_features
+    from .pipeline.engine import AlnMode, alignment_stream
+
+    reads = _load(args)
+    mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
+    n = 0
+    for rid, alns in alignment_stream(
+        reads, args.reads, mode, args.feat_gen_threads
+    ):
+        feats = extract_read_features(rid, reads, alns, args.window_size)
+        write_window_features(args.output, reads, feats)
+        n += 1
+    print(f"Generated features for {n} reads.", file=sys.stderr)
+
+
+def cmd_inference(args) -> None:
+    import jax
+
+    from .io.fastx import read_cluster
+    from .models.checkpoint import load_or_init
+    from .parallel.mesh import make_mesh
+    from .pipeline.engine import AlnMode, alignment_stream, run_correction
+    from .pipeline.infer import CorrectionRunner
+
+    core, neighbour = read_cluster(args.cluster)
+    reads = _load(args, core, neighbour)
+
+    cfg, params = load_or_init(args.model)
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None and args.batch_size % n_dev:
+        raise SystemExit(
+            f"batch size {args.batch_size} not divisible by {n_dev} devices"
+        )
+    runner = CorrectionRunner(cfg, params, mesh=mesh)
+
+    mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
+    source = alignment_stream(
+        reads, args.reads, mode, args.feat_gen_threads, core=core
+    )
+
+    t0 = time.time()
+    n = run_correction(
+        reads,
+        source,
+        runner,
+        args.output,
+        args.window_size,
+        args.batch_size,
+        feat_threads=args.feat_gen_threads,
+    )
+    print(
+        f"Corrected {n} reads in {time.time() - t0:.1f}s.",
+        file=sys.stderr,
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.command == "features":
+        cmd_features(args)
+    else:
+        cmd_inference(args)
+
+
+if __name__ == "__main__":
+    main()

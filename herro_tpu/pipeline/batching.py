@@ -1,0 +1,156 @@
+"""Window tensorization and static-shape bucketed batching.
+
+The reference pads every batch to its longest window (src/inference.rs:73-145)
+— fine for CUDA, hostile to XLA, which compiles one program per shape. Here
+windows are padded to a small ladder of static (L, S) buckets so the jitted
+correction step compiles a handful of programs that are reused for the whole
+run:
+
+* ``L`` (pileup columns) is rounded up to the next bucket length;
+* ``S`` (supported positions) is rounded up to a per-``L`` ladder of
+  fractions, since typical windows have supported counts far below L;
+* batches are padded to the configured batch size with empty windows.
+
+Token / qual padding values (11 / 126) match the reference collate
+(src/inference.rs:85-97).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    BASES_MAP,
+    GAP_FWD,
+    QUAL_PAD,
+    TOKEN_PAD,
+)
+from ..features.extract import WindowFeatures
+
+
+@dataclass
+class WindowTensors:
+    """Model-ready representation of one window."""
+
+    rid: int
+    wid: int
+    n_alns: int
+    n_total_wins: int
+    tokens: np.ndarray  # uint8 [L, 31] vocab ids
+    quals: np.ndarray  # uint8 [L, 31] phred+33 bytes
+    support_flat: np.ndarray  # int32 [n_sup] flat column index per supported pos
+    supported: np.ndarray  # structured (pos, ins) — kept for training dumps
+
+    @property
+    def length(self) -> int:
+        return self.tokens.shape[0]
+
+    @property
+    def n_supported(self) -> int:
+        return self.support_flat.shape[0]
+
+
+def tensorize(wf: WindowFeatures) -> WindowTensors:
+    """Encode pileup bytes to vocab ids and flatten supported (pos, ins) to
+    column indices (reference: src/inference.rs:214-268)."""
+    tokens = BASES_MAP[wf.bases]
+    anchors = np.nonzero(wf.bases[:, 0] != GAP_FWD)[0]
+    support_flat = (
+        anchors[wf.supported["pos"].astype(np.int64)]
+        + wf.supported["ins"].astype(np.int64)
+    ).astype(np.int32)
+    return WindowTensors(
+        rid=wf.rid,
+        wid=wf.wid,
+        n_alns=wf.n_alns,
+        n_total_wins=wf.n_total_wins,
+        tokens=tokens,
+        quals=wf.quals,
+        support_flat=support_flat,
+        supported=wf.supported,
+    )
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Ladder of static shapes for the jitted step."""
+
+    lengths: tuple[int, ...] = (1024, 2048, 3072, 4096, 5120, 6144, 8192)
+    # supported-count ladder, as fractions of the L bucket
+    sup_fractions: tuple[float, ...] = (0.125, 0.375, 1.0)
+
+    def bucket_for(self, length: int, n_sup: int) -> tuple[int, int]:
+        i = bisect.bisect_left(self.lengths, length)
+        if i == len(self.lengths):
+            # Extremely inserted window: fall back to the next multiple of
+            # 1024 (a fresh compile, but correctness over ladder purity).
+            L = -(-length // 1024) * 1024
+        else:
+            L = self.lengths[i]
+        for f in self.sup_fractions:
+            S = max(8, int(L * f))
+            if n_sup <= S:
+                return L, S
+        return L, L
+
+
+@dataclass
+class Batch:
+    """One padded, static-shape batch."""
+
+    tokens: np.ndarray  # int32 [B, L, 31]
+    quals: np.ndarray  # uint8 [B, L, 31]
+    support_idx: np.ndarray  # int32 [B, S]
+    support_mask: np.ndarray  # bool [B, S]
+    n_alns: np.ndarray  # int32 [B]
+    windows: list[WindowTensors]  # the real (unpadded) members
+
+    @property
+    def shape_key(self) -> tuple[int, int, int]:
+        return self.tokens.shape[:2] + (self.support_idx.shape[1],)
+
+
+def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Batch:
+    B = batch_size
+    tokens = np.full((B, L, windows[0].tokens.shape[1]), TOKEN_PAD, dtype=np.int32)
+    quals = np.full((B, L, windows[0].quals.shape[1]), QUAL_PAD, dtype=np.uint8)
+    support_idx = np.zeros((B, S), dtype=np.int32)
+    support_mask = np.zeros((B, S), dtype=bool)
+    n_alns = np.zeros(B, dtype=np.int32)
+    for i, w in enumerate(windows):
+        l, s = w.length, w.n_supported
+        tokens[i, :l] = w.tokens
+        quals[i, :l] = w.quals
+        support_idx[i, :s] = w.support_flat
+        support_mask[i, :s] = True
+        n_alns[i] = w.n_alns
+    return Batch(tokens, quals, support_idx, support_mask, n_alns, windows)
+
+
+class BucketBatcher:
+    """Accumulates windows per (L, S) bucket; emits full batches."""
+
+    def __init__(self, spec: BucketSpec, batch_size: int):
+        self.spec = spec
+        self.batch_size = batch_size
+        self._pending: dict[tuple[int, int], list[WindowTensors]] = {}
+
+    def add(self, w: WindowTensors) -> Batch | None:
+        key = self.spec.bucket_for(w.length, w.n_supported)
+        pend = self._pending.setdefault(key, [])
+        pend.append(w)
+        if len(pend) == self.batch_size:
+            del self._pending[key]
+            return collate(pend, key[0], key[1], self.batch_size)
+        return None
+
+    def flush(self) -> list[Batch]:
+        out = [
+            collate(ws, L, S, self.batch_size)
+            for (L, S), ws in self._pending.items()
+        ]
+        self._pending.clear()
+        return out

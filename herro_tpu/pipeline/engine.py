@@ -1,0 +1,211 @@
+"""End-to-end correction pipeline.
+
+Mirrors the reference dataflow (src/lib.rs:113-206): an alignment source
+streams (target rid, alignments); feature workers build window pileups; the
+bucketed batcher feeds the device; consensus results accumulate per read and
+are written as FASTA the moment a read completes. Stages communicate through
+bounded queues for backpressure, like the reference's crossbeam channels.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from ..constants import ALN_CHANNEL_CAPACITY, READS_BATCH_SIZE
+from ..features.extract import extract_read_features
+from ..io.fasta import write_corrected
+from ..io.fastx import ReadSet
+from ..overlaps.batches import BatchWriter, list_batches, read_batch
+from ..overlaps.mm2 import overlap_batches
+from ..overlaps.paf import Alignment, parse_paf
+from ..ops.consensus import count_decisions_np, stitch_read
+from ..pipeline.batching import BucketBatcher, BucketSpec, tensorize
+from ..pipeline.infer import CorrectionRunner, WindowResult
+
+
+@dataclass
+class AlnMode:
+    """None / read / write durable alignment batches (src/main.rs:25-36)."""
+
+    read_path: str | None = None
+    write_path: str | None = None
+
+
+def alignment_stream(
+    reads: ReadSet,
+    reads_path: str,
+    aln_mode: AlnMode,
+    threads: int,
+    core: set[str] | None = None,
+    on_batch: Callable[[int], None] | None = None,
+) -> Iterator[tuple[int, list[Alignment]]]:
+    """Stream (target rid, alignments) per read (src/overlaps.rs:325-375)."""
+    if aln_mode.read_path is not None:
+        for path in list_batches(aln_mode.read_path):
+            _, lines = read_batch(path)
+            grouped = parse_paf(lines, reads.name_to_id, core=core)
+            if on_batch:
+                on_batch(len(grouped))
+            yield from grouped.items()
+    else:
+        for batch_idx, rids, lines in overlap_batches(
+            reads, reads_path, threads, READS_BATCH_SIZE
+        ):
+            writer = None
+            if aln_mode.write_path is not None:
+                writer = BatchWriter(
+                    aln_mode.write_path,
+                    batch_idx,
+                    [reads.ids[r] for r in rids],
+                )
+            grouped = parse_paf(
+                lines,
+                reads.name_to_id,
+                core=core,
+                raw_writer=writer,
+            )
+            if writer is not None:
+                writer.close()
+            if on_batch:
+                on_batch(len(grouped))
+            yield from grouped.items()
+
+
+class ConsensusAccumulator:
+    """Collects per-read window results; emits corrected fragments when a
+    read's window set completes (src/consensus.rs:229-263)."""
+
+    def __init__(self, on_read: Callable[[int, list[bytes]], None]):
+        self._pending: dict[int, list[WindowResult]] = {}
+        self._on_read = on_read
+
+    def add(self, result: WindowResult) -> None:
+        entry = self._pending.setdefault(result.rid, [])
+        entry.append(result)
+        if len(entry) == result.n_total_wins:
+            del self._pending[result.rid]
+            entry.sort(key=lambda r: r.wid)
+            frags = stitch_read([(r.n_alns, r.decisions) for r in entry])
+            if frags is not None:
+                self._on_read(result.rid, frags)
+
+    @property
+    def n_pending(self) -> int:
+        return len(self._pending)
+
+
+def run_correction(
+    reads: ReadSet,
+    aln_source: Iterable[tuple[int, list[Alignment]]],
+    runner: CorrectionRunner,
+    output_path: str,
+    window_size: int,
+    batch_size: int,
+    bucket_spec: BucketSpec | None = None,
+    feat_threads: int = 1,
+    on_read_done: Callable[[int], None] | None = None,
+) -> int:
+    """Correct every read of ``aln_source``; returns #reads written."""
+    spec = bucket_spec or BucketSpec()
+    batcher = BucketBatcher(spec, batch_size)
+    n_written = 0
+    write_lock = threading.Lock()
+
+    out = open(output_path, "wb")
+
+    def on_read(rid: int, frags: list[bytes]) -> None:
+        nonlocal n_written
+        with write_lock:
+            write_corrected(out, reads.ids[rid], reads.descriptions[rid], frags)
+            n_written += 1
+        if on_read_done:
+            on_read_done(rid)
+
+    acc = ConsensusAccumulator(on_read)
+
+    def handle_window(wt) -> None:
+        if wt.n_supported == 0:
+            # No model columns: pure counting decode, host side
+            # (src/inference.rs:241-250 — such windows never reach the model).
+            dec = count_decisions_np(wt.tokens, wt.n_alns)
+            acc.add(
+                WindowResult(
+                    rid=wt.rid,
+                    wid=wt.wid,
+                    n_alns=wt.n_alns,
+                    n_total_wins=wt.n_total_wins,
+                    decisions=dec,
+                )
+            )
+        else:
+            batch = batcher.add(wt)
+            if batch is not None:
+                for res in runner.run_batch(batch):
+                    acc.add(res)
+
+    if feat_threads <= 1:
+        for rid, alns in aln_source:
+            for wf in extract_read_features(rid, reads, alns, window_size):
+                handle_window(tensorize(wf))
+    else:
+        _parallel_featgen(
+            reads, aln_source, window_size, feat_threads, handle_window
+        )
+
+    for batch in batcher.flush():
+        for res in runner.run_batch(batch):
+            acc.add(res)
+
+    out.close()
+    return n_written
+
+
+def _parallel_featgen(
+    reads: ReadSet,
+    aln_source: Iterable[tuple[int, list[Alignment]]],
+    window_size: int,
+    n_threads: int,
+    handle_window,
+) -> None:
+    """Feature workers on threads (numpy releases the GIL on bulk ops);
+    window handling stays on the consumer thread so batching/consensus state
+    needs no locks — mirrors the reference's featgen-thread fan-in
+    (src/lib.rs:159-187)."""
+    in_q: queue.Queue = queue.Queue(maxsize=ALN_CHANNEL_CAPACITY)
+    out_q: queue.Queue = queue.Queue(maxsize=4 * n_threads)
+
+    def worker():
+        while True:
+            item = in_q.get()
+            if item is None:
+                out_q.put(None)
+                return
+            rid, alns = item
+            feats = extract_read_features(rid, reads, alns, window_size)
+            out_q.put([tensorize(wf) for wf in feats])
+
+    workers = [threading.Thread(target=worker, daemon=True) for _ in range(n_threads)]
+    for w in workers:
+        w.start()
+
+    def feeder():
+        for item in aln_source:
+            in_q.put(item)
+        for _ in workers:
+            in_q.put(None)
+
+    threading.Thread(target=feeder, daemon=True).start()
+
+    done = 0
+    while done < len(workers):
+        item = out_q.get()
+        if item is None:
+            done += 1
+            continue
+        for wt in item:
+            handle_window(wt)

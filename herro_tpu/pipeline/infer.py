@@ -1,0 +1,116 @@
+"""The jitted correction step and its runner.
+
+One ``correct_step`` fuses, in a single XLA program per (B, L, S) bucket:
+
+* qual normalisation to [-1, 1] (reference does this on device too,
+  src/inference.rs:152-153);
+* the transformer forward over the pileup;
+* argmax over the 5-way logits at supported columns;
+* the counting-rule consensus decision for every column
+  (src/consensus.rs:177-218) — so the host only stitches bytes.
+
+With a mesh, batches are sharded over the data axis via
+``jax.sharding.NamedSharding``; parameters are replicated. XLA inserts the
+(trivial, all-gather-free) collectives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import QUAL_OFFSET, QUAL_SCALE
+from ..models.model import CorrectionModel, ModelConfig
+from ..ops.consensus import DECISION_PAD, count_decisions_jnp
+from .batching import Batch
+
+
+@dataclass
+class WindowResult:
+    rid: int
+    wid: int
+    n_alns: int
+    n_total_wins: int
+    decisions: np.ndarray  # uint8 [L_true] final per-column classes
+    info: np.ndarray | None = None  # f32 [n_sup] info logits (parity/debug)
+
+
+def make_correct_step(cfg: ModelConfig):
+    model = CorrectionModel(cfg)
+
+    def step(params, tokens, quals_u8, support_idx, support_mask, n_alns):
+        quals = (
+            QUAL_SCALE * quals_u8.astype(jnp.float32) - QUAL_OFFSET
+        )
+        info, logits = model.apply(
+            params, tokens, quals, support_idx, support_mask
+        )
+        classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        decisions = count_decisions_jnp(tokens, n_alns)
+        return info, classes, decisions
+
+    return step
+
+
+class CorrectionRunner:
+    """Owns parameters, the jit cache, and (optionally) a device mesh."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        mesh: Mesh | None = None,
+        collect_info: bool = False,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.collect_info = collect_info
+        step = make_correct_step(cfg)
+        if mesh is not None:
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, repl)
+            self._step = jax.jit(
+                step,
+                in_shardings=(repl, data, data, data, data, data),
+                out_shardings=(data, data, data),
+            )
+        else:
+            self.params = params
+            self._step = jax.jit(step)
+
+    def run_batch(self, batch: Batch) -> list[WindowResult]:
+        info, classes, decisions = self._step(
+            self.params,
+            batch.tokens,
+            batch.quals,
+            batch.support_idx,
+            batch.support_mask,
+            batch.n_alns,
+        )
+        classes = np.asarray(classes)
+        decisions = np.asarray(decisions)
+        info = np.asarray(info) if self.collect_info else None
+
+        out = []
+        for i, w in enumerate(batch.windows):
+            l, s = w.length, w.n_supported
+            dec = decisions[i, :l].copy()
+            # Model verdicts override the counting rule at supported columns.
+            dec[w.support_flat] = classes[i, :s]
+            out.append(
+                WindowResult(
+                    rid=w.rid,
+                    wid=w.wid,
+                    n_alns=w.n_alns,
+                    n_total_wins=w.n_total_wins,
+                    decisions=dec,
+                    info=info[i, :s].copy() if info is not None else None,
+                )
+            )
+        return out
