@@ -1,0 +1,78 @@
+"""Benchmark: corrected windows/s through the flagship correction step.
+
+Runs the full fused device step (qual normalisation + transformer forward +
+supported-column argmax + counting-rule consensus) on production-shaped
+batches (W=4096 windows, 31 pileup rows, ~2.5% supported columns) and reports
+throughput.
+
+``vs_baseline`` compares against the reference's demo-derived figure: the
+HERRO demo corrects the HG002 chr19 10-12Mb ~40x subset in ~10 min on one
+V100-32GB (demo/README.txt:6) producing ~80MB of corrected reads — roughly
+20k windows of 4096bp, i.e. ~33 windows/s end-to-end per device.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V100_DEMO_WINDOWS_PER_S = 33.0
+
+
+def main(batch_size: int = 32, L: int = 4608, S: int = 128, iters: int = 20) -> None:
+    import jax
+
+    from herro_tpu.models.model import R10_CONFIG, init_params
+    from herro_tpu.pipeline.infer import make_correct_step
+    from __graft_entry__ import _example_batch
+
+    cfg = R10_CONFIG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_correct_step(cfg))
+
+    # distinct batches so a caching executor can't replay results
+    batches = []
+    for seed in range(4):
+        tokens, quals, sidx, smask, n_alns = _example_batch(
+            batch_size, L, S, seed=seed
+        )
+        batches.append(
+            [jax.device_put(x) for x in (tokens, quals, sidx, smask, n_alns)]
+        )
+
+    def fetch(out):
+        # block_until_ready is not a reliable barrier on remote executors;
+        # force a real device-to-host fetch of every output.
+        return [np.asarray(o) for o in out]
+
+    # compile + warmup
+    for b in batches:
+        fetch(step(params, *b))
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fetch(step(params, *batches[i % len(batches)]))
+    dt = time.perf_counter() - t0
+
+    windows_per_s = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "corrected_windows_per_s_per_chip",
+                "value": round(windows_per_s, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(windows_per_s / V100_DEMO_WINDOWS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["batch_size"] = int(sys.argv[1])
+    main(**kw)

@@ -76,6 +76,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of local devices for data parallelism (0 = all)",
     )
     pi.add_argument("output", help="corrected reads FASTA path")
+
+    pt = sub.add_parser(
+        "train", help="train a correction model (synthetic pretraining)"
+    )
+    pt.add_argument("--config", default="r10", help="model config name or ckpt dir")
+    pt.add_argument("--steps", type=int, default=2000)
+    pt.add_argument("--batch-size", type=int, default=32)
+    pt.add_argument("--lr", type=float, default=3e-4)
+    pt.add_argument("-w", "--window-size", type=int, default=DEFAULT_WINDOW_SIZE)
+    pt.add_argument("--genome-len", type=int, default=200_000)
+    pt.add_argument("--n-reads", type=int, default=400)
+    pt.add_argument("--sub-rate", type=float, default=0.03)
+    pt.add_argument("--indel-rate", type=float, default=0.04)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--max-len", type=int, default=5120, help="padded window length")
+    pt.add_argument("--max-sup", type=int, default=640, help="padded supported count")
+    pt.add_argument(
+        "--devices", type=int, default=0, help="devices for data parallelism"
+    )
+    pt.add_argument("output", help="checkpoint output directory")
     return ap
 
 
@@ -129,9 +149,17 @@ def cmd_inference(args) -> None:
         )
     runner = CorrectionRunner(cfg, params, mesh=mesh)
 
+    from .pipeline.progress import Progress
+
+    progress = Progress()
     mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
     source = alignment_stream(
-        reads, args.reads, mode, args.feat_gen_threads, core=core
+        reads,
+        args.reads,
+        mode,
+        args.feat_gen_threads,
+        core=core,
+        on_batch=progress.add_batch,
     )
 
     t0 = time.time()
@@ -143,17 +171,76 @@ def cmd_inference(args) -> None:
         args.window_size,
         args.batch_size,
         feat_threads=args.feat_gen_threads,
+        on_read_done=lambda rid: progress.inc(),
     )
+    progress.finish()
     print(
         f"Corrected {n} reads in {time.time() - t0:.1f}s.",
         file=sys.stderr,
     )
 
 
+def cmd_train(args) -> None:
+    import tempfile
+
+    import jax
+
+    from .models.checkpoint import load_or_init, save_model
+    from .parallel.mesh import make_mesh
+    from .training.data import batch_iterator, simulated_windows
+    from .training.simulate import simulate
+    from .training.train import Trainer
+
+    cfg, params = load_or_init(args.config)
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+    print("Simulating training data...", file=sys.stderr)
+    ds = simulate(
+        genome_len=args.genome_len,
+        n_reads=args.n_reads,
+        read_len=(4 * args.window_size, 12 * args.window_size),
+        sub_rate=args.sub_rate,
+        ins_rate=args.indel_rate / 2,
+        del_rate=args.indel_rate / 2,
+        seed=args.seed,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        windows = simulated_windows(
+            ds, f"{tmp}/reads.fastq", args.window_size
+        )
+    print(f"{len(windows)} labelled windows.", file=sys.stderr)
+
+    trainer = Trainer(cfg, params, lr=args.lr, total_steps=args.steps, mesh=mesh)
+    it = batch_iterator(
+        windows,
+        args.batch_size,
+        L=args.max_len,
+        S=args.max_sup,
+        n_epochs=10_000,
+        seed=args.seed,
+    )
+    for batch in it:
+        metrics = trainer.train_step(batch)
+        if trainer.state.step % 50 == 0:
+            print(
+                f"step {trainer.state.step}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+                file=sys.stderr,
+            )
+        if trainer.state.step >= args.steps:
+            break
+
+    save_model(args.output, cfg, trainer.state.params)
+    print(f"Saved checkpoint to {args.output}", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     if args.command == "features":
         cmd_features(args)
+    elif args.command == "train":
+        cmd_train(args)
     else:
         cmd_inference(args)
 

@@ -34,11 +34,15 @@ from ..constants import N_ROWS, TOKEN_PAD, VOCAB_SIZE
 class ModelConfig:
     d_model: int = 256
     n_layers: int = 8
-    n_heads: int = 8
+    # head_dim = d_model / n_heads is kept at 128 on the flagship configs —
+    # the MXU lane width — so flash-attention tiles are never lane-padded.
+    n_heads: int = 2
     d_ff: int = 1024
     base_embed_dim: int = 16
     # Attention span along the pileup column axis; None = full attention.
     local_window: int | None = None
+    # auto / flash (pallas) / chunked / naive — see ops/attention.py
+    attn_impl: str = "auto"
     dtype: str = "bfloat16"
 
     @property
@@ -75,7 +79,9 @@ class Attention(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, positions: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, positions: jnp.ndarray):
+        from ..ops.attention import attention as attn_op
+
         cfg = self.cfg
         B, L, _ = x.shape
         h, dh = cfg.n_heads, cfg.d_model // cfg.n_heads
@@ -86,15 +92,16 @@ class Attention(nn.Module):
         q = _rope(q, positions)
         k = _rope(k, positions)
 
-        attn_mask = mask[:, None, None, :]  # [B, 1, 1, L] keys
-        if cfg.local_window is not None:
-            # Band mask along columns: |i - j| <= local_window.
-            idx = jnp.arange(L)
-            band = jnp.abs(idx[:, None] - idx[None, :]) <= cfg.local_window
-            attn_mask = attn_mask & band[None, None, :, :]
-
-        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
-        out = out.reshape(B, L, h * dh)
+        # [B, L, H, D] -> [B, H, L, D] for the kernels
+        out = attn_op(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            lengths,
+            local_window=cfg.local_window,
+            impl=cfg.attn_impl,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, h * dh)
         return nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="out")(out)
 
 
@@ -102,10 +109,10 @@ class Block(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, mask, positions):
+    def __call__(self, x, lengths, positions):
         cfg = self.cfg
         y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln1")(x)
-        x = x + Attention(cfg, name="attn")(y, mask, positions)
+        x = x + Attention(cfg, name="attn")(y, lengths, positions)
         y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln2")(x)
         y = nn.Dense(cfg.d_ff, dtype=cfg.compute_dtype, name="ff1")(y)
         y = nn.gelu(y)
@@ -142,13 +149,15 @@ class CorrectionModel(nn.Module):
         col = col.reshape(B, L, R * (cfg.base_embed_dim + 1))
         x = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="col_proj")(col)
 
-        # Columns whose target row is padding are masked out everywhere.
+        # Columns whose target row is padding are masked out everywhere;
+        # padding is always a suffix, so a per-example length suffices.
         mask = bases[:, :, 0] != TOKEN_PAD
+        lengths = mask.astype(jnp.int32).sum(axis=1)
         # Positions count real columns so padding never shifts phases.
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
 
         for i in range(cfg.n_layers):
-            x = Block(cfg, name=f"block_{i}")(x, mask, positions)
+            x = Block(cfg, name=f"block_{i}")(x, lengths, positions)
         x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln_f")(x)
 
         # Gather supported columns: [B, S, d]

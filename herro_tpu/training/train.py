@@ -1,0 +1,136 @@
+"""Training loop: pjit data-parallel over a device mesh.
+
+Loss is masked cross-entropy over supported columns (the model's only scored
+outputs, per the reference contract) plus a small-weight BCE on the info
+head. Parameters replicate; batches shard along the data axis; XLA inserts
+the gradient all-reduce (psum over 'data').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import QUAL_OFFSET, QUAL_SCALE
+from ..models.model import CorrectionModel, ModelConfig
+
+
+@dataclass
+class TrainBatch:
+    tokens: np.ndarray  # int32 [B, L, 31]
+    quals: np.ndarray  # uint8 [B, L, 31]
+    support_idx: np.ndarray  # int32 [B, S]
+    support_mask: np.ndarray  # bool [B, S]
+    labels: np.ndarray  # int32 [B, S]
+    info_labels: np.ndarray  # float32 [B, S]
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    step: int = 0
+
+
+def make_optimizer(
+    lr: float = 3e-4, warmup: int = 100, total_steps: int = 10_000
+) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(total_steps, warmup + 1)
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=1e-4),
+    )
+
+
+def make_train_step(cfg: ModelConfig, optimizer, info_weight: float = 0.1,
+                    mesh: Mesh | None = None):
+    model = CorrectionModel(cfg)
+
+    def loss_fn(params, tokens, quals_u8, sidx, smask, labels, info_labels):
+        quals = QUAL_SCALE * quals_u8.astype(jnp.float32) - QUAL_OFFSET
+        info, logits = model.apply(params, tokens, quals, sidx, smask)
+        m = smask.astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        ce = (ce * m).sum() / denom
+
+        bce = optax.sigmoid_binary_cross_entropy(info, info_labels)
+        bce = (bce * m).sum() / denom
+
+        acc = ((jnp.argmax(logits, -1) == labels) * m).sum() / denom
+        loss = ce + info_weight * bce
+        return loss, {"loss": loss, "ce": ce, "info_bce": bce, "acc": acc}
+
+    def step(params, opt_state, tokens, quals, sidx, smask, labels, info_labels):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, tokens, quals, sidx, smask, labels, info_labels
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is not None:
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data, data, data, data, data, data),
+            out_shardings=(repl, repl, repl),
+        )
+    return jax.jit(step)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        lr: float = 3e-4,
+        total_steps: int = 10_000,
+        mesh: Mesh | None = None,
+        info_weight: float = 0.1,
+    ):
+        self.cfg = cfg
+        self.optimizer = make_optimizer(lr, total_steps=total_steps)
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(params, repl)
+        self.state = TrainState(params, self.optimizer.init(params))
+        self._step = make_train_step(cfg, self.optimizer, info_weight, mesh)
+        self.mesh = mesh
+
+    def train_step(self, batch: TrainBatch) -> dict[str, float]:
+        params, opt_state, metrics = self._step(
+            self.state.params,
+            self.state.opt_state,
+            batch.tokens,
+            batch.quals,
+            batch.support_idx,
+            batch.support_mask,
+            batch.labels.astype(np.int32),
+            batch.info_labels.astype(np.float32),
+        )
+        self.state = TrainState(params, opt_state, self.state.step + 1)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, batches: Iterator[TrainBatch], log_every: int = 50) -> list[dict]:
+        history = []
+        for batch in batches:
+            metrics = self.train_step(batch)
+            history.append(metrics)
+            if self.state.step % log_every == 0:
+                print(
+                    f"step {self.state.step}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                )
+        return history

@@ -1,10 +1,15 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware. The ambient environment may register a TPU platform
+# plugin that overrides JAX_PLATFORMS, so force it through jax.config too.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from herro_tpu.ops.attention import (
+    chunked_attention,
+    flash_attention,
+    naive_attention,
+)
+
+
+def _qkv(seed, B=2, H=2, L=256, D=32):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    lengths = np.array([L, L - 64][:B], dtype=np.int32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths)
+
+
+@pytest.mark.parametrize("local_window", [None, 32])
+def test_chunked_matches_naive(local_window):
+    q, k, v, lengths = _qkv(0)
+    out_c = chunked_attention(q, k, v, lengths, local_window, blk_q=64)
+    out_n = naive_attention(q, k, v, lengths, local_window)
+    np.testing.assert_allclose(
+        np.asarray(out_c)[:, :, :192], np.asarray(out_n)[:, :, :192], atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("local_window", [None, 32])
+def test_flash_interpret_matches_naive(local_window):
+    q, k, v, lengths = _qkv(1)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = flash_attention(q, k, v, lengths, local_window, blk_q=64, blk_k=64)
+    out_n = naive_attention(q, k, v, lengths, local_window)
+    # compare only valid query rows (padded rows are unused downstream)
+    for b in range(q.shape[0]):
+        l = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(out_f)[b, :, :l], np.asarray(out_n)[b, :, :l], atol=2e-5
+        )
+
+
+def test_chunked_gradients_match_naive():
+    q, k, v, lengths = _qkv(2, L=128)
+
+    def loss_c(q, k, v):
+        return jnp.sum(chunked_attention(q, k, v, lengths, None, blk_q=64) ** 2)
+
+    def loss_n(q, k, v):
+        return jnp.sum(naive_attention(q, k, v, lengths) ** 2)
+
+    gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gc, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
