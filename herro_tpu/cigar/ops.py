@@ -120,17 +120,24 @@ def window_accuracy(
 
     t_adv = np.where(codes != I, lens, 0)
     q_adv = np.where(codes != D, lens, 0)
-    t_pos = np.concatenate([[0], np.cumsum(t_adv)])
-    q_pos = np.concatenate([[0], np.cumsum(q_adv)])
+    t_pos = np.concatenate([[0], np.cumsum(t_adv)[:-1]])
+    q_pos = np.concatenate([[0], np.cumsum(q_adv)[:-1]])
 
+    is_m = codes == M
     m = 0
-    s = 0
-    for k in np.nonzero(codes == M)[0]:
-        l = int(lens[k])
-        tp, qp = int(t_pos[k]), int(q_pos[k])
-        eq = int(np.count_nonzero(tseq[tp : tp + l] == qseq[qp : qp + l]))
-        m += eq
-        s += l - eq
+    if is_m.any():
+        # expand all M runs into flat index arrays: one vectorised compare
+        lm = lens[is_m]
+        total_m = int(lm.sum())
+        off = np.arange(total_m, dtype=np.int64) - np.repeat(
+            np.cumsum(lm) - lm, lm
+        )
+        ti = np.repeat(t_pos[is_m], lm) + off
+        qi = np.repeat(q_pos[is_m], lm) + off
+        m = int(np.count_nonzero(tseq[ti] == qseq[qi]))
+    else:
+        total_m = 0
+    s = total_m - m
     i = int(np.sum(lens[codes == I]))
     d = int(np.sum(lens[codes == D]))
     total = m + s + i + d

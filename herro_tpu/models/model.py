@@ -138,15 +138,13 @@ class CorrectionModel(nn.Module):
         B, L, R = bases.shape
         assert R == N_ROWS, f"expected {N_ROWS} pileup rows, got {R}"
 
-        emb = nn.Embed(
-            VOCAB_SIZE,
-            cfg.base_embed_dim,
-            dtype=cfg.compute_dtype,
-            name="base_embed",
-        )(bases)
+        # Per-row features: one-hot base token (+ qual scalar). The embedding
+        # is folded into the dense projection — one MXU matmul instead of a
+        # 4.5M-element gather, which TPUs handle poorly.
+        onehot = jax.nn.one_hot(bases, VOCAB_SIZE, dtype=cfg.compute_dtype)
         q = quals[..., None].astype(cfg.compute_dtype)
-        col = jnp.concatenate([emb, q], axis=-1)  # [B, L, R, E+1]
-        col = col.reshape(B, L, R * (cfg.base_embed_dim + 1))
+        col = jnp.concatenate([onehot, q], axis=-1)  # [B, L, R, V+1]
+        col = col.reshape(B, L, R * (VOCAB_SIZE + 1))
         x = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="col_proj")(col)
 
         # Columns whose target row is padding are masked out everywhere;

@@ -27,25 +27,40 @@ DECISION_PAD = 255
 
 def count_decisions_jnp(tokens: jnp.ndarray, n_alns: jnp.ndarray) -> jnp.ndarray:
     """Counting-rule class per column. tokens [B, L, R] int32 (vocab 0-11),
-    n_alns [B] -> decisions [B, L] uint8 in {0..4}."""
+    n_alns [B] -> decisions [B, L] uint8 in {0..4}.
+
+    Laid out TPU-first: all reductions/selects run on [B, L] planes (L on the
+    128-lane minor axis) rather than the tiny R/class minor dims, and the
+    vocab->class table is the arithmetic identity ``t % 5`` (t < 10), so no
+    gathers at all.
+    """
     B, L, R = tokens.shape
-    row_mask = jnp.arange(R)[None, None, :] <= n_alns[:, None, None]
-    cls = jnp.asarray(TOKEN_TO_CLASS, dtype=jnp.int32)[tokens]  # 5 = ignore
-    valid = row_mask & (cls < 5)
-    onehot = (cls[..., None] == jnp.arange(5)[None, None, None, :]) & valid[..., None]
-    counts = onehot.sum(axis=2)  # [B, L, 5]
+    t = jnp.transpose(tokens, (0, 2, 1))  # [B, R, L]
+    cls = jnp.where(t < 10, t % 5, 5)
+    valid = (jnp.arange(R)[None, :, None] <= n_alns[:, None, None]) & (cls < 5)
 
-    # argmax picks the smallest class index among ties — matching the stable
-    # descending sort of the reference (src/consensus.rs:186-193).
-    c0 = jnp.argmax(counts, axis=-1)
-    mc0 = jnp.take_along_axis(counts, c0[..., None], axis=-1)[..., 0]
-    counts2 = jnp.where(
-        jnp.arange(5)[None, None, :] == c0[..., None], -1, counts
-    )
-    c1 = jnp.argmax(counts2, axis=-1)
-    mc1 = jnp.take_along_axis(counts2, c1[..., None], axis=-1)[..., 0]
+    # per-class counts as five [B, L] planes
+    counts = [
+        jnp.sum((cls == c) & valid, axis=1, dtype=jnp.int32) for c in range(5)
+    ]
 
-    tbase = jnp.asarray(TOKEN_TO_CLASS, dtype=jnp.int32)[tokens[:, :, 0]]
+    # top-2 with ties resolved to the smallest class index — matching the
+    # stable descending sort of the reference (src/consensus.rs:186-193).
+    def top(cs):
+        best_c = jnp.zeros_like(cs[0])
+        best_v = cs[0]
+        for c in range(1, 5):
+            better = cs[c] > best_v
+            best_c = jnp.where(better, c, best_c)
+            best_v = jnp.maximum(best_v, cs[c])
+        return best_c, best_v
+
+    c0, mc0 = top(counts)
+    counts2 = [jnp.where(c0 == c, -1, counts[c]) for c in range(5)]
+    c1, mc1 = top(counts2)
+
+    t0 = tokens[:, :, 0]
+    tbase = jnp.where(t0 < 10, t0 % 5, 5)
     keep_target = (mc0 < 2) | ((mc0 == mc1) & ((c0 == tbase) | (c1 == tbase)))
     return jnp.where(keep_target, tbase, c0).astype(jnp.uint8)
 

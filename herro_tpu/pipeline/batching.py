@@ -101,7 +101,7 @@ class BucketSpec:
 class Batch:
     """One padded, static-shape batch."""
 
-    tokens: np.ndarray  # int32 [B, L, 31]
+    tokens: np.ndarray  # uint8 [B, L, 31] vocab ids
     quals: np.ndarray  # uint8 [B, L, 31]
     support_idx: np.ndarray  # int32 [B, S]
     support_mask: np.ndarray  # bool [B, S]
@@ -115,7 +115,7 @@ class Batch:
 
 def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Batch:
     B = batch_size
-    tokens = np.full((B, L, windows[0].tokens.shape[1]), TOKEN_PAD, dtype=np.int32)
+    tokens = np.full((B, L, windows[0].tokens.shape[1]), TOKEN_PAD, dtype=np.uint8)
     quals = np.full((B, L, windows[0].quals.shape[1]), QUAL_PAD, dtype=np.uint8)
     support_idx = np.zeros((B, S), dtype=np.int32)
     support_mask = np.zeros((B, S), dtype=bool)

@@ -62,7 +62,7 @@ def collate_train(
 ) -> TrainBatch:
     B = len(windows)
     R = windows[0].tokens.shape[1]
-    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.int32)
+    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.uint8)
     quals = np.full((B, L, R), QUAL_PAD, dtype=np.uint8)
     sidx = np.zeros((B, S), dtype=np.int32)
     smask = np.zeros((B, S), dtype=bool)

@@ -24,7 +24,7 @@ from ..models.model import CorrectionModel, ModelConfig
 
 @dataclass
 class TrainBatch:
-    tokens: np.ndarray  # int32 [B, L, 31]
+    tokens: np.ndarray  # uint8 [B, L, 31]
     quals: np.ndarray  # uint8 [B, L, 31]
     support_idx: np.ndarray  # int32 [B, S]
     support_mask: np.ndarray  # bool [B, S]
