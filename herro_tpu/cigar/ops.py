@@ -115,6 +115,20 @@ def window_accuracy(
     decoded target and query bases (reference: src/features.rs:585-679).
     ``tseq`` / ``qseq`` are the window-local target and oriented query bytes.
     """
+    from .. import native
+
+    if native.available():
+        return native.window_accuracy(
+            cig.codes,
+            cig.lens,
+            op_start,
+            start_off,
+            op_end,
+            end_off,
+            np.ascontiguousarray(tseq),
+            np.ascontiguousarray(qseq),
+        )
+
     codes = cig.codes[op_start:op_end]
     lens = slice_lengths(cig, op_start, start_off, op_end, end_off)
 

@@ -58,6 +58,27 @@ def extract_windows(
     ``is_target == true``, see src/features.rs:346-358 — PAF rows are grouped
     by target id and minimap2 ``--dual=yes`` emits both orientations).
     """
+    from .. import native
+
+    if native.available():
+        rows = native.extract_windows_rows(
+            cig.codes, cig.lens, tstart, tend, tlen, qstart, qend, window_size
+        )
+        for w, t_ws, q_ws, q_end, op_s, off_s, op_e, off_e in rows:
+            windows[w].append(
+                OverlapWindow(
+                    aln_idx,
+                    int(t_ws),
+                    int(q_ws),
+                    int(q_end),
+                    int(op_s),
+                    int(off_s),
+                    int(op_e),
+                    int(off_e),
+                )
+            )
+        return
+
     W = window_size
     if (tend - tstart) < W or (qend - qstart) < W:
         return

@@ -52,7 +52,23 @@ def window_max_ins(
     An insertion whose anchor is target-relative position ``t`` reserves
     columns after anchor ``t-1``; the reference indexes ``max_ins[tpos-1]``.
     """
+    from .. import native
+
     max_ins = np.zeros(win_len, dtype=np.int32)
+    if native.available():
+        for ow in ows:
+            cig = cigars[ow.aln_idx]
+            native.max_ins_accumulate(
+                cig.codes,
+                cig.lens,
+                ow.op_start,
+                ow.start_off,
+                ow.op_end,
+                ow.end_off,
+                ow.tstart - win_start,
+                max_ins,
+            )
+        return max_ins
     for ow in ows:
         cig = cigars[ow.aln_idx]
         codes, lens, t_starts, _ = window_slice_arrays(cig, ow)
@@ -94,6 +110,27 @@ def fill_query_row(
     reverse-complemented for reverse-strand overlaps. ``anchor[t]`` is the
     flat column of target-relative position ``t``.
     """
+    from .. import native
+
+    if native.available():
+        native.fill_query_row(
+            bases_row,
+            quals_row,
+            cig.codes,
+            cig.lens,
+            ow.op_start,
+            ow.start_off,
+            ow.op_end,
+            ow.end_off,
+            ow.tstart - win_start,
+            strand_rev,
+            np.ascontiguousarray(qseq),
+            np.ascontiguousarray(qqual),
+            anchor,
+            max_ins,
+        )
+        return
+
     gap = GAP_REV if strand_rev else GAP_FWD
     bases_row.fill(gap)
 

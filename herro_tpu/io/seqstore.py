@@ -53,6 +53,10 @@ def decode(words: np.ndarray, start: int, end: int, rc: bool = False) -> np.ndar
     """
     if start >= end:
         return np.empty(0, dtype=np.uint8)
+    from .. import native
+
+    if native.available():
+        return native.decode_2bit(words, start, end, rc)
     idx = np.arange(start, end, dtype=np.int64)
     if rc:
         idx = idx[::-1]

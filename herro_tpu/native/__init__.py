@@ -1,0 +1,221 @@
+"""ctypes bindings for the native host kernels.
+
+The library builds on first import (g++, ~1s) and is cached next to the
+source; set ``HERRO_TPU_NATIVE=0`` to force the pure-numpy fallbacks. Every
+binding has an identical-semantics numpy twin in cigar/ and features/ — parity
+is enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libherro_native.so")
+_SRC_PATH = os.path.join(_DIR, "haec_native.cpp")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"[herro-tpu] native build failed ({e}); using numpy fallbacks",
+              file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib
+    if os.environ.get("HERRO_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+        _LIB_PATH
+    ) < os.path.getmtime(_SRC_PATH):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        print(f"[herro-tpu] cannot load native lib ({e})", file=sys.stderr)
+        return None
+
+    i64, i32, u8p, i32p, i64p, u64p, dbl = (
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_double,
+    )
+    lib.ht_decode_2bit.argtypes = [u64p, i64, i64, ctypes.c_int, u8p]
+    lib.ht_encode_2bit.argtypes = [u8p, i64, u64p]
+    lib.ht_extract_windows.argtypes = [
+        u8p, i32p, i64, i64, i64, i64, i64, i64, i64, i64p, i64,
+    ]
+    lib.ht_extract_windows.restype = i64
+    lib.ht_max_ins.argtypes = [u8p, i32p, i64, i64, i64, i64, i64, i32p]
+    lib.ht_fill_query_row.argtypes = [
+        u8p, u8p, i64, i64, u8p, i32p, i64, i64, i64, i64, i64,
+        ctypes.c_int, u8p, u8p, i64p, i32p,
+    ]
+    lib.ht_window_accuracy.argtypes = [
+        u8p, i32p, i64, i64, i64, i64, u8p, u8p,
+    ]
+    lib.ht_window_accuracy.restype = dbl
+    return lib
+
+
+_lib = _load()
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def _p(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def decode_2bit(words: np.ndarray, start: int, end: int, rc: bool) -> np.ndarray:
+    out = np.empty(max(end - start, 0), dtype=np.uint8)
+    if end > start:
+        _lib.ht_decode_2bit(
+            _p(words, ctypes.c_uint64), start, end, int(rc), _p(out, ctypes.c_uint8)
+        )
+    return out
+
+
+def encode_2bit(seq: np.ndarray) -> np.ndarray:
+    n = seq.shape[0]
+    out = np.zeros((n + 31) // 32, dtype=np.uint64)
+    if n:
+        _lib.ht_encode_2bit(
+            _p(seq, ctypes.c_uint8), n, _p(out, ctypes.c_uint64)
+        )
+    return out
+
+
+def extract_windows_rows(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    tstart: int,
+    tend: int,
+    tlen: int,
+    qstart: int,
+    qend: int,
+    window_size: int,
+) -> np.ndarray:
+    """Emitted window rows [n, 8]: win_idx, t_ws, q_ws, q_end, op_s, off_s,
+    op_e, off_e."""
+    max_rows = (tend - tstart) // window_size + 3
+    out = np.empty((max_rows, 8), dtype=np.int64)
+    n = _lib.ht_extract_windows(
+        _p(codes, ctypes.c_uint8),
+        _p(lens, ctypes.c_int32),
+        codes.shape[0],
+        tstart,
+        tend,
+        tlen,
+        qstart,
+        qend,
+        window_size,
+        _p(out, ctypes.c_int64),
+        max_rows,
+    )
+    assert n >= 0, "native window buffer overflow"
+    return out[:n]
+
+
+def max_ins_accumulate(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    op_s: int,
+    off_s: int,
+    op_e: int,
+    off_e: int,
+    t_base: int,
+    max_ins: np.ndarray,
+) -> None:
+    _lib.ht_max_ins(
+        _p(codes, ctypes.c_uint8),
+        _p(lens, ctypes.c_int32),
+        op_s,
+        off_s,
+        op_e,
+        off_e,
+        t_base,
+        _p(max_ins, ctypes.c_int32),
+    )
+
+
+def fill_query_row(
+    bases_row: np.ndarray,
+    quals_row: np.ndarray,
+    codes: np.ndarray,
+    lens: np.ndarray,
+    op_s: int,
+    off_s: int,
+    op_e: int,
+    off_e: int,
+    t_base: int,
+    strand_rev: bool,
+    qseq: np.ndarray,
+    qqual: np.ndarray,
+    anchor: np.ndarray,
+    max_ins: np.ndarray,
+) -> None:
+    stride = bases_row.strides[0]
+    assert quals_row.strides[0] == stride
+    _lib.ht_fill_query_row(
+        _p(bases_row, ctypes.c_uint8),
+        _p(quals_row, ctypes.c_uint8),
+        stride,
+        bases_row.shape[0],
+        _p(codes, ctypes.c_uint8),
+        _p(lens, ctypes.c_int32),
+        op_s,
+        off_s,
+        op_e,
+        off_e,
+        t_base,
+        int(strand_rev),
+        _p(qseq, ctypes.c_uint8),
+        _p(qqual, ctypes.c_uint8),
+        _p(anchor, ctypes.c_int64),
+        _p(max_ins, ctypes.c_int32),
+    )
+
+
+def window_accuracy(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    op_s: int,
+    off_s: int,
+    op_e: int,
+    off_e: int,
+    tseq: np.ndarray,
+    qseq: np.ndarray,
+) -> float:
+    return _lib.ht_window_accuracy(
+        _p(codes, ctypes.c_uint8),
+        _p(lens, ctypes.c_int32),
+        op_s,
+        off_s,
+        op_e,
+        off_e,
+        _p(tseq, ctypes.c_uint8),
+        _p(qseq, ctypes.c_uint8),
+    )

@@ -1,0 +1,299 @@
+// Native host kernels for herro_tpu.
+//
+// The reference implements its host hot loops in Rust (src/windowing.rs,
+// src/features.rs, src/haec_io.rs); these are the C++ equivalents, exposed
+// with a plain C ABI and bound via ctypes. Semantics mirror the Python/numpy
+// implementations exactly (which are property-tested against per-op oracles);
+// parity between the two paths is itself under test.
+//
+// Build: make -C herro_tpu/native   (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+constexpr uint8_t OP_M = 0;
+constexpr uint8_t OP_I = 1;
+constexpr uint8_t OP_D = 2;
+
+constexpr uint8_t BASE_OF_CODE[4] = {'A', 'C', 'G', 'T'};
+
+// Effective op length of op j within a window slice [op_s, op_e) with
+// start/end offsets (reference: src/features.rs:181-188).
+inline int64_t eff_len(const int32_t* lens, int64_t op_s, int64_t off_s,
+                       int64_t op_e, int64_t off_e, int64_t j) {
+  int64_t n = op_e - op_s;
+  int64_t l = lens[op_s + j];
+  if (n == 1) return off_e - off_s;
+  if (j == 0) return l - off_s;
+  if (j == n - 1) return off_e;
+  return l;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 2-bit sequence codec (reference: src/haec_io.rs:121-173)
+// ---------------------------------------------------------------------------
+
+void ht_decode_2bit(const uint64_t* words, int64_t start, int64_t end, int rc,
+                    uint8_t* out) {
+  if (start >= end) return;
+  int64_t n = end - start;
+  if (!rc) {
+    for (int64_t idx = 0; idx < n; ++idx) {
+      int64_t i = start + idx;
+      uint64_t code = (words[i >> 5] >> ((i << 1) & 63)) & 3;
+      out[idx] = BASE_OF_CODE[code];
+    }
+  } else {
+    for (int64_t idx = 0; idx < n; ++idx) {
+      int64_t i = end - 1 - idx;
+      uint64_t code = ((words[i >> 5] >> ((i << 1) & 63)) & 3) ^ 3;
+      out[idx] = BASE_OF_CODE[code];
+    }
+  }
+}
+
+void ht_encode_2bit(const uint8_t* seq, int64_t n, uint64_t* words) {
+  static uint64_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) table[i] = 0;
+    table['A'] = 0; table['C'] = 1; table['G'] = 2; table['T'] = 3;
+    table['a'] = 0; table['c'] = 1; table['g'] = 2; table['t'] = 3;
+    init = true;
+  }
+  int64_t n_words = (n + 31) / 32;
+  for (int64_t w = 0; w < n_words; ++w) words[w] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    words[i >> 5] |= table[seq[i]] << ((i << 1) & 63);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Window extraction (reference: src/windowing.rs:44-273)
+//
+// Writes rows of 8 int64 per emitted window:
+//   win_idx, t_window_start, q_start, q_end, op_start, start_off, op_end,
+//   end_off.
+// Returns the number of rows (or -1 if max_rows would be exceeded).
+// ---------------------------------------------------------------------------
+
+int64_t ht_extract_windows(const uint8_t* codes, const int32_t* lens,
+                           int64_t n_ops, int64_t tstart, int64_t tend,
+                           int64_t tlen, int64_t qstart, int64_t qend,
+                           int64_t W, int64_t* out, int64_t max_rows) {
+  if (tend - tstart < W || qend - qstart < W) return 0;
+
+  int64_t zeroth = (int64_t)(0.1 * (double)W);
+  int64_t nth = tlen - zeroth;
+  int64_t first_window = tstart < zeroth ? 0 : (tstart + W - 1) / W;
+  int64_t last_window = tend > nth ? (tend - 1) / W + 1 : tend / W;
+  if (last_window - first_window < 1) return 0;
+
+  bool state_set = (tstart % W == 0) || (tstart < zeroth);
+  int64_t t_ws = tstart, q_ws = 0, op_s = 0, off_s = 0;
+  int64_t n_rows = 0;
+
+  int64_t tpos = tstart;  // target pos before current op
+  int64_t qpos = 0;       // query pos before current op (relative)
+  int64_t next_b = (tstart / W + 1) * W;
+
+  for (int64_t i = 0; i < n_ops; ++i) {
+    uint8_t op = codes[i];
+    int64_t l = lens[i];
+    if (op == OP_I) {
+      qpos += l;
+      continue;
+    }
+    int64_t t_end_op = tpos + l;
+
+    while (next_b <= t_end_op && next_b <= tend) {
+      int64_t b = next_b;
+      int64_t offset = b - tpos;
+      int64_t q_at_b = qpos + (op == OP_M ? offset : 0);
+
+      int64_t q_end_w, op_e, off_e, nxt_op, nxt_off;
+      if (t_end_op == b) {
+        if (i + 1 < n_ops && codes[i + 1] == OP_I) {
+          q_end_w = q_at_b + lens[i + 1];
+          op_e = i + 2;
+          off_e = lens[i + 1];
+          nxt_op = i + 2;
+          nxt_off = 0;
+        } else {
+          q_end_w = q_at_b;
+          op_e = i + 1;
+          off_e = l;
+          nxt_op = i + 1;
+          nxt_off = 0;
+        }
+      } else {
+        q_end_w = q_at_b;
+        op_e = i + 1;
+        off_e = offset;
+        nxt_op = i;
+        nxt_off = offset;
+      }
+
+      if (state_set) {
+        if (n_rows == max_rows) return -1;
+        int64_t* r = out + 8 * n_rows++;
+        r[0] = b / W - 1;
+        r[1] = t_ws;
+        r[2] = q_ws;
+        r[3] = q_end_w;
+        r[4] = op_s;
+        r[5] = off_s;
+        r[6] = op_e;
+        r[7] = off_e;
+      }
+      t_ws = b;
+      q_ws = q_end_w;
+      op_s = nxt_op;
+      off_s = nxt_off;
+      state_set = true;
+      next_b += W;
+    }
+
+    tpos = t_end_op;
+    if (op == OP_M) qpos += l;
+  }
+
+  if (tend > nth && tend % W != 0 && state_set) {
+    if (n_rows == max_rows) return -1;
+    int64_t* r = out + 8 * n_rows++;
+    r[0] = last_window - 1;
+    r[1] = t_ws;
+    r[2] = q_ws;
+    r[3] = qpos;
+    r[4] = op_s;
+    r[5] = off_s;
+    r[6] = n_ops;
+    r[7] = lens[n_ops - 1];
+  }
+  return n_rows;
+}
+
+// ---------------------------------------------------------------------------
+// Per-window max-insertion counts (reference: src/features.rs:44-95)
+// ---------------------------------------------------------------------------
+
+void ht_max_ins(const uint8_t* codes, const int32_t* lens, int64_t op_s,
+                int64_t off_s, int64_t op_e, int64_t off_e, int64_t t_base,
+                int32_t* max_ins /* [win_len] */) {
+  int64_t tpos = t_base;
+  int64_t n = op_e - op_s;
+  for (int64_t j = 0; j < n; ++j) {
+    uint8_t op = codes[op_s + j];
+    if (op == OP_I) {
+      // insertions use raw length (never offset-truncated in practice)
+      int32_t l = lens[op_s + j];
+      if (tpos > 0 && max_ins[tpos - 1] < l) max_ins[tpos - 1] = l;
+      continue;
+    }
+    tpos += eff_len(lens, op_s, off_s, op_e, off_e, j);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Pileup row fill (reference: src/features.rs:110-266).
+//
+// bases/quals are strided rows: element k lives at bases[k * stride].
+// anchor[t] = flat column of target-relative position t (win_len + 1 entries).
+// qseq/qqual are the window's oriented query bytes (already RC'd for reverse
+// strand; lowercase transform applied here).
+// ---------------------------------------------------------------------------
+
+void ht_fill_query_row(uint8_t* bases, uint8_t* quals, int64_t stride,
+                       int64_t length, const uint8_t* codes,
+                       const int32_t* lens, int64_t op_s, int64_t off_s,
+                       int64_t op_e, int64_t off_e, int64_t t_base,
+                       int strand_rev, const uint8_t* qseq,
+                       const uint8_t* qqual, const int64_t* anchor,
+                       const int32_t* max_ins) {
+  uint8_t gap = strand_rev ? '#' : '*';
+  for (int64_t k = 0; k < length; ++k) bases[k * stride] = gap;
+
+  int64_t idx0 = anchor[t_base];
+  for (int64_t k = 0; k < idx0; ++k) bases[k * stride] = '.';
+
+  static uint8_t lower[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) lower[i] = (uint8_t)i;
+    lower['A'] = 'a'; lower['C'] = 'c'; lower['G'] = 'g'; lower['T'] = 't';
+    init = true;
+  }
+
+  int64_t tpos = t_base;
+  int64_t idx = idx0;
+  int64_t qp = 0;
+  int64_t n = op_e - op_s;
+  for (int64_t j = 0; j < n; ++j) {
+    uint8_t op = codes[op_s + j];
+    int64_t l = eff_len(lens, op_s, off_s, op_e, off_e, j);
+    if (op == OP_M) {
+      for (int64_t i = 0; i < l; ++i) {
+        uint8_t b = qseq[qp];
+        bases[idx * stride] = strand_rev ? lower[b] : b;
+        quals[idx * stride] = qqual[qp];
+        ++qp;
+        idx += 1 + max_ins[tpos + i];
+      }
+      tpos += l;
+    } else if (op == OP_D) {
+      for (int64_t i = 0; i < l; ++i) idx += 1 + max_ins[tpos + i];
+      tpos += l;
+    } else {  // OP_I — raw length, written into reserved columns
+      int64_t li = lens[op_s + j];
+      int64_t at = idx - max_ins[tpos - 1];
+      for (int64_t i = 0; i < li; ++i) {
+        uint8_t b = qseq[qp];
+        bases[(at + i) * stride] = strand_rev ? lower[b] : b;
+        quals[(at + i) * stride] = qqual[qp];
+        ++qp;
+      }
+    }
+  }
+  for (int64_t k = idx; k < length; ++k) bases[k * stride] = '.';
+}
+
+// ---------------------------------------------------------------------------
+// Window-local alignment accuracy (reference: src/features.rs:585-679)
+// ---------------------------------------------------------------------------
+
+double ht_window_accuracy(const uint8_t* codes, const int32_t* lens,
+                          int64_t op_s, int64_t off_s, int64_t op_e,
+                          int64_t off_e, const uint8_t* tseq,
+                          const uint8_t* qseq) {
+  int64_t tp = 0, qp = 0;
+  int64_t m = 0, s = 0, ins = 0, del = 0;
+  int64_t n = op_e - op_s;
+  for (int64_t j = 0; j < n; ++j) {
+    uint8_t op = codes[op_s + j];
+    int64_t l = eff_len(lens, op_s, off_s, op_e, off_e, j);
+    if (op == OP_M) {
+      for (int64_t i = 0; i < l; ++i) {
+        if (tseq[tp + i] == qseq[qp + i]) ++m; else ++s;
+      }
+      tp += l;
+      qp += l;
+    } else if (op == OP_I) {
+      ins += l;
+      qp += l;
+    } else {
+      del += l;
+      tp += l;
+    }
+  }
+  int64_t total = m + s + ins + del;
+  return total ? (double)m / (double)total : 0.0;
+}
+
+}  // extern "C"
