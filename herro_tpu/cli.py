@@ -75,6 +75,22 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="number of local devices for data parallelism (0 = all)",
     )
+    pi.add_argument(
+        "--resume",
+        action="store_true",
+        help="append to an existing output, skipping already-corrected reads",
+    )
+    pi.add_argument(
+        "--shard",
+        default="",
+        help="'i/n': correct only targets with rid %% n == i (multi-process "
+        "sharding; combine per-shard outputs afterwards)",
+    )
+    pi.add_argument(
+        "--profile-dir",
+        default="",
+        help="write a jax.profiler trace of the run to this directory",
+    )
     pi.add_argument("output", help="corrected reads FASTA path")
 
     pt = sub.add_parser(
@@ -149,6 +165,7 @@ def cmd_inference(args) -> None:
         )
     runner = CorrectionRunner(cfg, params, mesh=mesh)
 
+    from .pipeline.engine import StageTimers
     from .pipeline.progress import Progress
 
     progress = Progress()
@@ -162,6 +179,15 @@ def cmd_inference(args) -> None:
         on_batch=progress.add_batch,
     )
 
+    if args.shard:
+        i, _, n_shards = args.shard.partition("/")
+        i, n_shards = int(i), int(n_shards)
+        source = ((rid, a) for rid, a in source if rid % n_shards == i)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    timers = StageTimers()
     t0 = time.time()
     n = run_correction(
         reads,
@@ -172,10 +198,15 @@ def cmd_inference(args) -> None:
         args.batch_size,
         feat_threads=args.feat_gen_threads,
         on_read_done=lambda rid: progress.inc(),
+        resume=args.resume,
+        timers=timers,
     )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     progress.finish()
     print(
-        f"Corrected {n} reads in {time.time() - t0:.1f}s.",
+        f"Corrected {n} reads in {time.time() - t0:.1f}s "
+        f"({timers.summary()}).",
         file=sys.stderr,
     )
 

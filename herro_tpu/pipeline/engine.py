@@ -99,6 +99,47 @@ class ConsensusAccumulator:
         return len(self._pending)
 
 
+def corrected_read_ids(output_path: str) -> set[bytes]:
+    """FASTA header names already present in a (partial) corrected output —
+    the resume journal (split fragments keep their ``:i`` suffix here)."""
+    done: set[bytes] = set()
+    try:
+        with open(output_path, "rb") as fh:
+            for line in fh:
+                if line.startswith(b">"):
+                    done.add(line[1:].split(b" ", 1)[0].rstrip(b"\r\n"))
+    except FileNotFoundError:
+        pass
+    return done
+
+
+def _fold_resume_ids(done: set[bytes], name_to_id: dict[bytes, int]) -> set[int]:
+    """Map journal names to read ids, stripping split ``:i`` suffixes."""
+    skip: set[int] = set()
+    for name in done:
+        rid = name_to_id.get(name)
+        if rid is None and b":" in name:
+            stem, _, tail = name.rpartition(b":")
+            if tail.isdigit():
+                rid = name_to_id.get(stem)
+        if rid is not None:
+            skip.add(rid)
+    return skip
+
+
+@dataclass
+class StageTimers:
+    featgen_s: float = 0.0
+    device_s: float = 0.0
+    n_batches: int = 0
+
+    def summary(self) -> str:
+        return (
+            f"featgen {self.featgen_s:.1f}s, device {self.device_s:.1f}s "
+            f"({self.n_batches} batches)"
+        )
+
+
 def run_correction(
     reads: ReadSet,
     aln_source: Iterable[tuple[int, list[Alignment]]],
@@ -109,14 +150,27 @@ def run_correction(
     bucket_spec: BucketSpec | None = None,
     feat_threads: int = 1,
     on_read_done: Callable[[int], None] | None = None,
+    resume: bool = False,
+    timers: StageTimers | None = None,
 ) -> int:
     """Correct every read of ``aln_source``; returns #reads written."""
+    import time as _time
+
     spec = bucket_spec or BucketSpec()
     batcher = BucketBatcher(spec, batch_size)
     n_written = 0
     write_lock = threading.Lock()
+    timers = timers if timers is not None else StageTimers()
 
-    out = open(output_path, "wb")
+    skip: set[int] = set()
+    if resume:
+        skip = _fold_resume_ids(corrected_read_ids(output_path), reads.name_to_id)
+        if skip:
+            print(
+                f"[herro-tpu] resume: skipping {len(skip)} corrected reads",
+                flush=True,
+            )
+    out = open(output_path, "ab" if resume else "wb")
 
     def on_read(rid: int, frags: list[bytes]) -> None:
         nonlocal n_written
@@ -145,20 +199,33 @@ def run_correction(
         else:
             batch = batcher.add(wt)
             if batch is not None:
-                for res in runner.run_batch(batch):
+                t0 = _time.perf_counter()
+                results = runner.run_batch(batch)
+                timers.device_s += _time.perf_counter() - t0
+                timers.n_batches += 1
+                for res in results:
                     acc.add(res)
 
+    source = (
+        (rid, alns) for rid, alns in aln_source if rid not in skip
+    )
     if feat_threads <= 1:
-        for rid, alns in aln_source:
-            for wf in extract_read_features(rid, reads, alns, window_size):
-                handle_window(tensorize(wf))
+        for rid, alns in source:
+            t0 = _time.perf_counter()
+            feats = extract_read_features(rid, reads, alns, window_size)
+            wts = [tensorize(wf) for wf in feats]
+            timers.featgen_s += _time.perf_counter() - t0
+            for wt in wts:
+                handle_window(wt)
     else:
-        _parallel_featgen(
-            reads, aln_source, window_size, feat_threads, handle_window
-        )
+        _parallel_featgen(reads, source, window_size, feat_threads, handle_window)
 
     for batch in batcher.flush():
-        for res in runner.run_batch(batch):
+        t0 = _time.perf_counter()
+        results = runner.run_batch(batch)
+        timers.device_s += _time.perf_counter() - t0
+        timers.n_batches += 1
+        for res in results:
             acc.add(res)
 
     out.close()
