@@ -112,6 +112,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--devices", type=int, default=0, help="devices for data parallelism"
     )
     pt.add_argument("output", help="checkpoint output directory")
+
+    pe = sub.add_parser(
+        "eval", help="score correction quality on held-out simulated data"
+    )
+    pe.add_argument("model", help="checkpoint dir or named config")
+    pe.add_argument("-w", "--window-size", type=int, default=DEFAULT_WINDOW_SIZE)
+    pe.add_argument("-b", "--batch-size", type=int, default=16)
+    pe.add_argument("--genome-len", type=int, default=120_000)
+    pe.add_argument("--n-reads", type=int, default=120)
+    pe.add_argument("--sub-rate", type=float, default=0.02)
+    pe.add_argument("--indel-rate", type=float, default=0.04)
+    pe.add_argument("--seed", type=int, default=12345)
     return ap
 
 
@@ -266,12 +278,36 @@ def cmd_train(args) -> None:
     print(f"Saved checkpoint to {args.output}", file=sys.stderr)
 
 
+def cmd_eval(args) -> None:
+    import json
+
+    from .models.checkpoint import load_or_init
+    from .training.eval import evaluate
+
+    cfg, params = load_or_init(args.model)
+    res = evaluate(
+        cfg,
+        params,
+        window_size=args.window_size,
+        genome_len=args.genome_len,
+        n_reads=args.n_reads,
+        sub_rate=args.sub_rate,
+        ins_rate=args.indel_rate / 2,
+        del_rate=args.indel_rate / 2,
+        seed=args.seed,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(res.as_dict(), indent=1))
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     if args.command == "features":
         cmd_features(args)
     elif args.command == "train":
         cmd_train(args)
+    elif args.command == "eval":
+        cmd_eval(args)
     else:
         cmd_inference(args)
 

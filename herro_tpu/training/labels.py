@@ -34,7 +34,7 @@ def window_labels(
     wf: WindowFeatures,
     window_size: int,
     anchor_truth: np.ndarray,
-    ins_truth: list[bytes],
+    ins_truth: dict[int, bytes],
 ) -> tuple[np.ndarray, np.ndarray]:
     """(labels [n_sup] uint8 in 0..4, info [n_sup] uint8 in 0/1)."""
     win_start = wf.wid * window_size
@@ -50,7 +50,7 @@ def window_labels(
             labels[k] = anchor_truth[p]
             cur = wf.bases[anchors[int(pos)], 0]
         else:
-            run = ins_truth[p]
+            run = ins_truth.get(p, b"")
             labels[k] = (
                 _CLS_OF_BYTE[run[int(ins) - 1]] if int(ins) <= len(run) else 4
             )

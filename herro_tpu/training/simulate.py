@@ -40,6 +40,25 @@ class SimRead:
     def length(self) -> int:
         return len(self.seq)
 
+    @property
+    def ins_lens(self) -> np.ndarray:
+        if not hasattr(self, "_ins_lens"):
+            self._ins_lens = np.fromiter(
+                (len(x) for x in self.ins_after), dtype=np.int64,
+                count=len(self.ins_after),
+            )
+        return self._ins_lens
+
+    @property
+    def fwd_cum(self) -> np.ndarray:
+        """fwd_cum[j] = forward-sequence offset of genome position start+j."""
+        if not hasattr(self, "_fwd_cum"):
+            per_pos = self.emitted.astype(np.int64) + self.ins_lens
+            cum = np.zeros(per_pos.shape[0] + 1, dtype=np.int64)
+            np.cumsum(per_pos, out=cum[1:])
+            self._fwd_cum = cum
+        return self._fwd_cum
+
 
 @dataclass
 class SimDataset:
@@ -119,42 +138,63 @@ def simulate(
 def _fwd_offset(read: SimRead, g0: int) -> int:
     """Forward-sequence position where genome position ``g0`` lands in the
     read (bases emitted before it, including trailing insertions)."""
-    s0 = g0 - read.start
-    return int(read.emitted[:s0].sum()) + sum(
-        len(read.ins_after[j]) for j in range(s0)
-    )
+    return int(read.fwd_cum[g0 - read.start])
+
+
+_OP_M, _OP_D, _OP_I, _OP_NONE = 0, 1, 2, 3
+_OP_BYTES = (b"M", b"D", b"I", b"?")
 
 
 def _compose_cigar(a: SimRead, b: SimRead, g0: int, g1: int) -> list[tuple[int, bytes]]:
     """CIGAR of target a vs query b over genome interval [g0, g1), in target
     orientation, as (len, op) runs. M consumes both, I query-only, D
-    target-only."""
-    runs: list[tuple[int, bytes]] = []
+    target-only.
 
-    def push(l: int, op: bytes) -> None:
-        if l <= 0:
-            return
-        if runs and runs[-1][1] == op:
-            runs[-1] = (runs[-1][0] + l, op)
-        else:
-            runs.append((l, op))
+    Vectorised: every genome position contributes up to four op slots
+    (emitted-base pairing + greedy M/D/I pairing of co-located insertions);
+    the slots are flattened, zero-length slots dropped, and adjacent equal
+    ops run-length merged — no per-base Python loop.
+    """
+    n = g1 - g0
+    ae = a.emitted[g0 - a.start : g1 - a.start]
+    be = b.emitted[g0 - b.start : g1 - b.start]
+    ka = a.ins_lens[g0 - a.start : g1 - a.start]
+    kb = b.ins_lens[g0 - b.start : g1 - b.start]
 
-    for g in range(g0, g1):
-        ae = bool(a.emitted[g - a.start])
-        be = bool(b.emitted[g - b.start])
-        if ae and be:
-            push(1, b"M")
-        elif ae:
-            push(1, b"D")
-        elif be:
-            push(1, b"I")
-        ka = len(a.ins_after[g - a.start])
-        kb = len(b.ins_after[g - b.start])
-        m = min(ka, kb)
-        push(m, b"M")
-        push(ka - m, b"D")  # target-inserted bases the query lacks
-        push(kb - m, b"I")  # query-inserted bases the target lacks
-    return runs
+    ops = np.empty((n, 4), dtype=np.int8)
+    lens = np.empty((n, 4), dtype=np.int64)
+    # slot 0: the emitted-base pairing
+    ops[:, 0] = np.where(ae & be, _OP_M, np.where(ae, _OP_D, np.where(be, _OP_I, _OP_NONE)))
+    lens[:, 0] = (ae | be).astype(np.int64)
+    # slots 1-3: insertion pairing
+    m = np.minimum(ka, kb)
+    ops[:, 1] = _OP_M
+    lens[:, 1] = m
+    ops[:, 2] = _OP_D
+    lens[:, 2] = ka - m
+    ops[:, 3] = _OP_I
+    lens[:, 3] = kb - m
+
+    flat_ops = ops.reshape(-1)
+    flat_lens = lens.reshape(-1)
+    keep = flat_lens > 0
+    flat_ops = flat_ops[keep]
+    flat_lens = flat_lens[keep]
+    if flat_ops.shape[0] == 0:
+        return []
+
+    # run-length merge of adjacent equal ops
+    boundary = np.empty(flat_ops.shape[0], dtype=bool)
+    boundary[0] = True
+    boundary[1:] = flat_ops[1:] != flat_ops[:-1]
+    starts = np.nonzero(boundary)[0]
+    cum = np.concatenate([[0], np.cumsum(flat_lens)])
+    ends = np.concatenate([starts[1:], [flat_ops.shape[0]]])
+    run_lens = cum[ends] - cum[starts]
+    run_ops = flat_ops[starts]
+    return [
+        (int(l), _OP_BYTES[o]) for l, o in zip(run_lens, run_ops)
+    ]
 
 
 def _trim_to_m(
@@ -257,7 +297,9 @@ def true_sequence(ds: SimDataset, read: SimRead) -> bytes:
     return _COMP[span][::-1].tobytes() if read.rc else span.tobytes()
 
 
-def read_truth_arrays(ds: SimDataset, read: SimRead) -> tuple[np.ndarray, list[bytes]]:
+def read_truth_arrays(
+    ds: SimDataset, read: SimRead
+) -> tuple[np.ndarray, dict[int, bytes]]:
     """Ground truth along the read's *stored* orientation.
 
     Returns (anchor_truth, ins_truth):
@@ -265,48 +307,46 @@ def read_truth_arrays(ds: SimDataset, read: SimRead) -> tuple[np.ndarray, list[b
                          genome base, fixing substitutions), 4 = '*' (the
                          position is a read insertion error);
       ins_truth[p]     — genome bases deleted from the read right after
-                         position p (to be restored in insertion columns).
+                         position p (to be restored in insertion columns);
+                         sparse dict, missing -> no deleted bases.
     """
     lut = np.full(256, 255, dtype=np.uint8)
     for k, c in enumerate(b"ACGT"):
         lut[c] = k
 
     genome = np.frombuffer(ds.genome, dtype=np.uint8)
-    anchors: list[int] = []
-    ins_runs: list[bytes] = []
-    pending_del: list[int] = []
+    span = genome[read.start : read.end]
+    emitted = read.emitted
+    ins_lens = read.ins_lens
 
-    # Walk forward orientation, building per-emitted-base truth.
-    for j in range(read.end - read.start):
-        g = read.start + j
-        if read.emitted[j]:
-            anchors.append(int(lut[genome[g]]))
-            ins_runs.append(b"")
-            pending_del = []
-        else:
-            # deleted genome base: attach to the previous emitted position
-            if ins_runs:
-                ins_runs[-1] += genome[g : g + 1].tobytes()
-        for c in read.ins_after[j]:
-            anchors.append(4)  # read insertion error -> '*'
-            ins_runs.append(b"")
+    # Entry layout per genome position j: (emitted base if any) then
+    # ins_lens[j] insertion-error entries (truth '*').
+    per_pos = emitted.astype(np.int64) + ins_lens
+    offsets = np.concatenate([[0], np.cumsum(per_pos)])
+    n_entries = int(offsets[-1])
 
-    anchor_truth = np.asarray(anchors, dtype=np.uint8)
+    anchor_truth = np.full(n_entries, 4, dtype=np.uint8)
+    em = np.nonzero(emitted)[0]
+    anchor_truth[offsets[em]] = lut[span[em]]
+
+    # Deleted genome bases attach to the entry just before position j.
+    ins_runs: dict[int, bytes] = {}
+    for j in np.nonzero(~emitted)[0]:
+        p = int(offsets[j]) - 1
+        if p >= 0:
+            ins_runs[p] = ins_runs.get(p, b"") + span[j : j + 1].tobytes()
+
     if read.rc:
         # flip to stored orientation: complement classes 0-3, reverse order;
         # a deletion run after p (fwd) precedes the complementary position.
         comp = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
         anchor_truth = comp[anchor_truth][::-1].copy()
-        n = len(ins_runs)
-        flipped: list[bytes] = [b""] * n
-        for p in range(n):
-            run = ins_runs[p]
-            if not run:
-                continue
-            rc_run = _COMP[np.frombuffer(run, dtype=np.uint8)][::-1].tobytes()
-            # run after fwd p maps to run after stored position (n-1-p)-1
-            tgt = n - 2 - p
+        flipped: dict[int, bytes] = {}
+        for p, run in ins_runs.items():
+            tgt = n_entries - 2 - p
             if tgt >= 0:
-                flipped[tgt] = rc_run
+                flipped[tgt] = _COMP[np.frombuffer(run, dtype=np.uint8)][
+                    ::-1
+                ].tobytes()
         ins_runs = flipped
     return anchor_truth, ins_runs
