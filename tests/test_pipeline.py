@@ -1,0 +1,95 @@
+"""Pipeline unit tests: bucketing, collation, threaded featgen parity."""
+
+import jax
+import numpy as np
+import pytest
+
+from herro_tpu.constants import QUAL_PAD, TOKEN_PAD
+from herro_tpu.io.fastx import load_reads
+from herro_tpu.models.model import TINY_CONFIG, init_params
+from herro_tpu.overlaps.paf import parse_paf
+from herro_tpu.pipeline.batching import BucketBatcher, BucketSpec, collate
+from herro_tpu.pipeline.engine import run_correction
+from herro_tpu.pipeline.infer import CorrectionRunner
+from herro_tpu.training.simulate import paf_rows, simulate
+
+
+def test_bucket_spec_ladder():
+    spec = BucketSpec(lengths=(1024, 2048), sup_fractions=(0.125, 1.0))
+    assert spec.bucket_for(900, 10) == (1024, 128)
+    assert spec.bucket_for(1024, 200) == (1024, 1024)
+    assert spec.bucket_for(1025, 10) == (2048, 256)
+    # beyond the ladder: next multiple of 1024
+    assert spec.bucket_for(5000, 10)[0] == 5120
+
+
+def test_collate_padding():
+    from herro_tpu.pipeline.batching import WindowTensors
+
+    w = WindowTensors(
+        rid=0,
+        wid=0,
+        n_alns=3,
+        n_total_wins=1,
+        tokens=np.zeros((10, 31), dtype=np.uint8),
+        quals=np.full((10, 31), 40, dtype=np.uint8),
+        support_flat=np.array([2, 5], dtype=np.int32),
+        supported=np.empty(2, dtype=[("pos", np.uint16), ("ins", np.uint8)]),
+    )
+    b = collate([w], L=16, S=4, batch_size=2)
+    assert b.tokens.shape == (2, 16, 31)
+    assert (b.tokens[0, 10:] == TOKEN_PAD).all()
+    assert (b.tokens[1] == TOKEN_PAD).all()
+    assert (b.quals[0, 10:] == QUAL_PAD).all()
+    assert b.support_mask[0].tolist() == [True, True, False, False]
+    assert b.n_alns.tolist() == [3, 0]
+
+
+def test_threaded_featgen_matches_serial(tmp_path):
+    ds = simulate(
+        genome_len=1500,
+        n_reads=18,
+        read_len=(500, 900),
+        sub_rate=0.01,
+        ins_rate=0.005,
+        del_rate=0.005,
+        seed=3,
+    )
+    fastq = tmp_path / "r.fastq"
+    ds.write_fastq(str(fastq))
+    reads = load_reads(str(fastq), min_length=128)
+    grouped = parse_paf(paf_rows(ds, min_overlap=150), reads.name_to_id)
+
+    cfg = TINY_CONFIG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    runner = CorrectionRunner(cfg, params)
+    spec = BucketSpec(lengths=(192, 256, 512), sup_fractions=(1.0,))
+
+    outs = []
+    for threads in (1, 3):
+        out = tmp_path / f"c{threads}.fasta"
+        run_correction(
+            reads,
+            iter(sorted(grouped.items())),
+            runner,
+            str(out),
+            window_size=128,
+            batch_size=4,
+            bucket_spec=spec,
+            feat_threads=threads,
+        )
+        outs.append(out.read_bytes())
+
+    # same set of corrected records regardless of threading
+    def records(data):
+        recs = {}
+        name = None
+        for line in data.split(b"\n"):
+            if line.startswith(b">"):
+                name = line
+                recs[name] = b""
+            elif line and name:
+                recs[name] += line
+        return recs
+
+    assert records(outs[0]) == records(outs[1])
