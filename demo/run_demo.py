@@ -49,6 +49,7 @@ def main() -> None:
         sub_rate=0.02,
         ins_rate=0.02,
         del_rate=0.02,
+        het_rate=0.005,
         seed=777,
         **kw,
     )

@@ -105,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--n-reads", type=int, default=400)
     pt.add_argument("--sub-rate", type=float, default=0.03)
     pt.add_argument("--indel-rate", type=float, default=0.04)
+    pt.add_argument("--het-rate", type=float, default=0.005)
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--max-len", type=int, default=5120, help="padded window length")
     pt.add_argument("--max-sup", type=int, default=640, help="padded supported count")
@@ -123,6 +124,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--n-reads", type=int, default=120)
     pe.add_argument("--sub-rate", type=float, default=0.02)
     pe.add_argument("--indel-rate", type=float, default=0.04)
+    pe.add_argument("--het-rate", type=float, default=0.005)
     pe.add_argument("--seed", type=int, default=12345)
     return ap
 
@@ -246,6 +248,7 @@ def cmd_train(args) -> None:
         sub_rate=args.sub_rate,
         ins_rate=args.indel_rate / 2,
         del_rate=args.indel_rate / 2,
+        het_rate=args.het_rate,
         seed=args.seed,
     )
     with tempfile.TemporaryDirectory() as tmp:
@@ -294,6 +297,7 @@ def cmd_eval(args) -> None:
         sub_rate=args.sub_rate,
         ins_rate=args.indel_rate / 2,
         del_rate=args.indel_rate / 2,
+        het_rate=args.het_rate,
         seed=args.seed,
         batch_size=args.batch_size,
     )

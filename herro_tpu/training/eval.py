@@ -73,6 +73,7 @@ def evaluate(
     sub_rate: float = 0.02,
     ins_rate: float = 0.02,
     del_rate: float = 0.02,
+    het_rate: float = 0.0,
     seed: int = 12345,
     batch_size: int = 16,
     bucket_spec: BucketSpec | None = None,
@@ -84,6 +85,7 @@ def evaluate(
         sub_rate=sub_rate,
         ins_rate=ins_rate,
         del_rate=del_rate,
+        het_rate=het_rate,
         seed=seed,
     )
     with tempfile.TemporaryDirectory() as tmp:

@@ -35,6 +35,7 @@ class SimRead:
     emitted: np.ndarray  # bool [span]: genome position present in the read
     sub: np.ndarray  # uint8 [span]: emitted base (valid where emitted)
     ins_after: list[bytes]  # inserted bases after each genome position (fwd)
+    hap: int = 0  # haplotype the read was sampled from
 
     @property
     def length(self) -> int:
@@ -62,14 +63,35 @@ class SimRead:
 
 @dataclass
 class SimDataset:
-    genome: bytes
+    genome: bytes  # haplotype 0
     reads: list[SimRead]
+    haplotypes: list[bytes] | None = None  # [hap0, hap1]; None = haploid
+
+    def hap_seq(self, hap: int) -> np.ndarray:
+        if self.haplotypes is None:
+            return np.frombuffer(self.genome, dtype=np.uint8)
+        return np.frombuffer(self.haplotypes[hap], dtype=np.uint8)
 
     def write_fastq(self, path: str, qual: int = 40) -> None:
         with open(path, "wb") as fh:
             for r in self.reads:
                 q = bytes([33 + qual]) * r.length
                 fh.write(b"@" + r.name + b"\n" + r.seq + b"\n+\n" + q + b"\n")
+
+
+def _homopolymer_weights(genome: np.ndarray, boost: float) -> np.ndarray:
+    """Per-position indel-rate multiplier: `boost` inside homopolymer runs of
+    length >= 3 (ONT errors concentrate in homopolymers)."""
+    n = genome.shape[0]
+    w = np.ones(n, dtype=np.float32)
+    if n < 3 or boost <= 1.0:
+        return w
+    same_prev = np.concatenate([[False], genome[1:] == genome[:-1]])
+    # run id per position, then run length via bincount
+    run_id = np.cumsum(~same_prev) - 1
+    run_len = np.bincount(run_id)
+    w[run_len[run_id] >= 3] = boost
+    return w
 
 
 def simulate(
@@ -81,20 +103,48 @@ def simulate(
     del_rate: float = 0.01,
     rc_prob: float = 0.5,
     seed: int = 0,
-    circular: bool = False,
+    het_rate: float = 0.0,
+    hp_indel_boost: float = 3.0,
 ) -> SimDataset:
+    """Simulate a (optionally diploid) genome and error-laden reads.
+
+    ``het_rate`` > 0 creates a second haplotype differing by substitution SNPs
+    at that rate; each read samples a haplotype uniformly. Correct
+    haplotype-aware correction must preserve the read's own allele at het
+    sites — pooled majority voting is systematically wrong there, which is
+    the hard case the model (and the reference's phase re-rank,
+    src/features.rs:461-528) exists for. Indel error probability is boosted
+    inside homopolymer runs, ONT-style.
+    """
     rng = np.random.default_rng(seed)
     genome = rng.choice(_BASES, size=genome_len)
 
+    haplotypes = None
+    hap_arrays = [genome]
+    if het_rate > 0:
+        het_sites = rng.random(genome_len) < het_rate
+        hap2 = genome.copy()
+        shift = rng.integers(1, 4, size=genome_len)
+        base_idx = np.searchsorted(_BASES, genome)
+        hap2[het_sites] = _BASES[(base_idx[het_sites] + shift[het_sites]) % 4]
+        hap_arrays = [genome, hap2]
+        haplotypes = [genome.tobytes(), hap2.tobytes()]
+
+    hp_w = [_homopolymer_weights(h, hp_indel_boost) for h in hap_arrays]
+
     reads = []
     for i in range(n_reads):
+        hap = int(rng.integers(0, len(hap_arrays)))
+        source = hap_arrays[hap]
+
         length = int(rng.integers(read_len[0], read_len[1] + 1))
         length = min(length, genome_len)
         start = int(rng.integers(0, genome_len - length + 1))
         end = start + length
 
-        span = genome[start:end]
-        emitted = rng.random(length) >= del_rate
+        span = source[start:end]
+        w = hp_w[hap][start:end]
+        emitted = rng.random(length) >= del_rate * w
         sub = span.copy()
         subs = rng.random(length) < sub_rate
         # substitution: shift by 1-3 in base space so it always differs
@@ -102,7 +152,7 @@ def simulate(
         base_idx = np.searchsorted(_BASES, span)
         sub[subs] = _BASES[(base_idx[subs] + shift[subs]) % 4]
 
-        ins_mask = rng.random(length) < ins_rate
+        ins_mask = rng.random(length) < ins_rate * w
         ins_after: list[bytes] = [b""] * length
         for j in np.nonzero(ins_mask)[0]:
             k = int(rng.integers(1, 4))
@@ -129,10 +179,11 @@ def simulate(
                 emitted=emitted,
                 sub=sub,
                 ins_after=ins_after,
+                hap=hap,
             )
         )
 
-    return SimDataset(genome.tobytes(), reads)
+    return SimDataset(genome.tobytes(), reads, haplotypes)
 
 
 def _fwd_offset(read: SimRead, g0: int) -> int:
@@ -291,9 +342,9 @@ def paf_rows(ds: SimDataset, min_overlap: int = 500) -> list[bytes]:
 
 
 def true_sequence(ds: SimDataset, read: SimRead) -> bytes:
-    """The error-free sequence a perfect corrector would output for ``read``
-    (its genome span, in stored orientation)."""
-    span = np.frombuffer(ds.genome[read.start : read.end], dtype=np.uint8)
+    """The error-free sequence a perfect corrector would output for ``read``:
+    its span on its *own haplotype*, in stored orientation."""
+    span = ds.hap_seq(read.hap)[read.start : read.end]
     return _COMP[span][::-1].tobytes() if read.rc else span.tobytes()
 
 
@@ -314,7 +365,8 @@ def read_truth_arrays(
     for k, c in enumerate(b"ACGT"):
         lut[c] = k
 
-    genome = np.frombuffer(ds.genome, dtype=np.uint8)
+    # truth is the read's own haplotype (haplotype-aware correction)
+    genome = ds.hap_seq(read.hap)
     span = genome[read.start : read.end]
     emitted = read.emitted
     ins_lens = read.ins_lens
