@@ -184,6 +184,12 @@ def cmd_inference(args) -> None:
 
     progress = Progress()
     mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
+    # Multi-host (jax.distributed): each process takes every k-th
+    # target-partitioned alignment batch and writes its own shard output.
+    stride = (jax.process_index(), jax.process_count())
+    output_path = args.output
+    if stride[1] > 1:
+        output_path = f"{args.output}.shard{stride[0]:03d}"
     source = alignment_stream(
         reads,
         args.reads,
@@ -191,6 +197,7 @@ def cmd_inference(args) -> None:
         args.feat_gen_threads,
         core=core,
         on_batch=progress.add_batch,
+        stride=stride,
     )
 
     if args.shard:
@@ -207,7 +214,7 @@ def cmd_inference(args) -> None:
         reads,
         source,
         runner,
-        args.output,
+        output_path,
         args.window_size,
         args.batch_size,
         feat_threads=args.feat_gen_threads,
@@ -274,6 +281,8 @@ def cmd_train(args) -> None:
                 + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
                 file=sys.stderr,
             )
+        if trainer.state.step % 250 == 0:
+            trainer.save(args.output)
         if trainer.state.step >= args.steps:
             break
 

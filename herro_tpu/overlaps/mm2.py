@@ -62,11 +62,15 @@ def overlap_batches(
     reads_path: str,
     threads: int,
     batch_size: int,
+    stride: tuple[int, int] = (0, 1),
 ) -> Iterator[tuple[int, range, Iterator[bytes]]]:
     """Yield (batch_idx, target rid range, PAF line iterator) per 50k-read batch
-    (reference: src/overlaps.rs:248-286)."""
+    (reference: src/overlaps.rs:248-286). ``stride=(i, n)`` runs minimap2 only
+    for every n-th batch (multi-host split)."""
     n = len(reads)
     for batch_idx, start in enumerate(range(0, n, batch_size)):
+        if batch_idx % stride[1] != stride[0]:
+            continue
         rids = range(start, min(start + batch_size, n))
         proc, stdout = run_minimap2(reads, rids, reads_path, threads)
 

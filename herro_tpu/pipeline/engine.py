@@ -43,10 +43,20 @@ def alignment_stream(
     threads: int,
     core: set[str] | None = None,
     on_batch: Callable[[int], None] | None = None,
+    stride: tuple[int, int] = (0, 1),
 ) -> Iterator[tuple[int, list[Alignment]]]:
-    """Stream (target rid, alignments) per read (src/overlaps.rs:325-375)."""
+    """Stream (target rid, alignments) per read (src/overlaps.rs:325-375).
+
+    ``stride=(i, n)`` takes every n-th alignment batch starting at i — the
+    multi-host work split: batches are target-partitioned, so each process
+    owns a disjoint set of target reads and no cross-host exchange is needed
+    beyond the (replicated) read set.
+    """
+    p_idx, p_cnt = stride
     if aln_mode.read_path is not None:
-        for path in list_batches(aln_mode.read_path):
+        for k, path in enumerate(list_batches(aln_mode.read_path)):
+            if k % p_cnt != p_idx:
+                continue
             _, lines = read_batch(path)
             grouped = parse_paf(lines, reads.name_to_id, core=core)
             if on_batch:
@@ -54,7 +64,7 @@ def alignment_stream(
             yield from grouped.items()
     else:
         for batch_idx, rids, lines in overlap_batches(
-            reads, reads_path, threads, READS_BATCH_SIZE
+            reads, reads_path, threads, READS_BATCH_SIZE, stride=stride
         ):
             writer = None
             if aln_mode.write_path is not None:

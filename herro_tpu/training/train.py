@@ -123,7 +123,13 @@ class Trainer:
         self.state = TrainState(params, opt_state, self.state.step + 1)
         return {k: float(v) for k, v in metrics.items()}
 
-    def fit(self, batches: Iterator[TrainBatch], log_every: int = 50) -> list[dict]:
+    def fit(
+        self,
+        batches: Iterator[TrainBatch],
+        log_every: int = 50,
+        save_every: int = 0,
+        save_dir: str | None = None,
+    ) -> list[dict]:
         history = []
         for batch in batches:
             metrics = self.train_step(batch)
@@ -133,4 +139,16 @@ class Trainer:
                     f"step {self.state.step}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
                 )
+            if save_every and save_dir and self.state.step % save_every == 0:
+                self.save(save_dir)
         return history
+
+    def save(self, path: str) -> None:
+        """Durable mid-run checkpoint (params + step marker)."""
+        import os
+
+        from ..models.checkpoint import save_model
+
+        save_model(path, self.cfg, self.state.params)
+        with open(os.path.join(path, "step.txt"), "w") as fh:
+            fh.write(str(self.state.step))
