@@ -51,9 +51,21 @@ def main(batch_size: int = 32, L: int = 4608, S: int = 128, iters: int = 20) -> 
     for b in batches:
         fetch(step(params, *b))
 
+    # Pipelined dispatch, like the production engine (pipeline/engine.py):
+    # keep `depth` batches in flight so the ~40ms tunnel round-trip and the
+    # host unpack overlap with device compute; every output is still fully
+    # fetched to host memory.
+    from collections import deque
+
+    depth = 3
     t0 = time.perf_counter()
+    inflight: deque = deque()
     for i in range(iters):
-        fetch(step(params, *batches[i % len(batches)]))
+        inflight.append(step(params, *batches[i % len(batches)]))
+        if len(inflight) >= depth:
+            fetch(inflight.popleft())
+    while inflight:
+        fetch(inflight.popleft())
     dt = time.perf_counter() - t0
 
     windows_per_s = batch_size * iters / dt

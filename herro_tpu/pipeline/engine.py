@@ -166,11 +166,17 @@ def run_correction(
     """Correct every read of ``aln_source``; returns #reads written."""
     import time as _time
 
+    import collections
+
     spec = bucket_spec or BucketSpec()
     batcher = BucketBatcher(spec, batch_size)
     n_written = 0
     write_lock = threading.Lock()
     timers = timers if timers is not None else StageTimers()
+    # Device batches in flight: dispatch is async, so up to ``depth`` batches
+    # overlap with host featgen and with each other on the device queue.
+    depth = 3
+    pending: collections.deque = collections.deque()
 
     skip: set[int] = set()
     if resume:
@@ -209,12 +215,20 @@ def run_correction(
         else:
             batch = batcher.add(wt)
             if batch is not None:
-                t0 = _time.perf_counter()
-                results = runner.run_batch(batch)
-                timers.device_s += _time.perf_counter() - t0
-                timers.n_batches += 1
-                for res in results:
-                    acc.add(res)
+                submit(batch)
+
+    def submit(batch) -> None:
+        pending.append(runner.dispatch(batch))
+        if len(pending) >= depth:
+            drain_one()
+
+    def drain_one() -> None:
+        t0 = _time.perf_counter()
+        results = runner.finalize(pending.popleft())
+        timers.device_s += _time.perf_counter() - t0
+        timers.n_batches += 1
+        for res in results:
+            acc.add(res)
 
     source = (
         (rid, alns) for rid, alns in aln_source if rid not in skip
@@ -231,12 +245,9 @@ def run_correction(
         _parallel_featgen(reads, source, window_size, feat_threads, handle_window)
 
     for batch in batcher.flush():
-        t0 = _time.perf_counter()
-        results = runner.run_batch(batch)
-        timers.device_s += _time.perf_counter() - t0
-        timers.n_batches += 1
-        for res in results:
-            acc.add(res)
+        submit(batch)
+    while pending:
+        drain_one()
 
     out.close()
     return n_written

@@ -31,6 +31,14 @@ from .batching import Batch
 
 
 @dataclass
+class InFlight:
+    """A dispatched-but-unfetched device batch."""
+
+    batch: Batch
+    outputs: tuple
+
+
+@dataclass
 class WindowResult:
     rid: int
     wid: int
@@ -84,8 +92,13 @@ class CorrectionRunner:
             self.params = params
             self._step = jax.jit(step)
 
-    def run_batch(self, batch: Batch) -> list[WindowResult]:
-        info, classes, decisions = self._step(
+    def dispatch(self, batch: Batch) -> "InFlight":
+        """Enqueue the device step without waiting; JAX dispatch is async, so
+        this returns immediately with device arrays. Pair with ``finalize`` —
+        keeping 2+ batches in flight hides the host<->device round-trip and
+        overlaps featgen with compute (the reference gets the same overlap
+        from its dedicated inference thread, src/lib.rs:189-196)."""
+        out = self._step(
             self.params,
             batch.tokens,
             batch.quals,
@@ -93,6 +106,16 @@ class CorrectionRunner:
             batch.support_mask,
             batch.n_alns,
         )
+        return InFlight(batch, out)
+
+    def finalize(self, inflight: "InFlight") -> list[WindowResult]:
+        """Fetch a dispatched batch's results (blocks) and unpack them."""
+        return self._unpack(inflight.batch, *inflight.outputs)
+
+    def run_batch(self, batch: Batch) -> list[WindowResult]:
+        return self.finalize(self.dispatch(batch))
+
+    def _unpack(self, batch: Batch, info, classes, decisions) -> list[WindowResult]:
         classes = np.asarray(classes)
         decisions = np.asarray(decisions)
         info = np.asarray(info) if self.collect_info else None
