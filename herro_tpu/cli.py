@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of local devices for data parallelism (0 = all)",
     )
     pi.add_argument(
+        "--tp",
+        type=int,
+        default=1,
+        help="tensor-parallel degree (heads/FFN shard over a 2-D data x model "
+        "mesh; must divide --devices)",
+    )
+    pi.add_argument(
         "--resume",
         action="store_true",
         help="append to an existing output, skipping already-corrected reads",
@@ -107,11 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--indel-rate", type=float, default=0.04)
     pt.add_argument("--het-rate", type=float, default=0.005)
     pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument(
+        "--data-cache",
+        default="",
+        help="pickle path caching the simulated labelled windows (featgen on "
+        "one core takes minutes; restarts reuse the cache)",
+    )
     pt.add_argument("--max-len", type=int, default=5120, help="padded window length")
     pt.add_argument("--max-sup", type=int, default=640, help="padded supported count")
     pt.add_argument(
         "--devices", type=int, default=0, help="devices for data parallelism"
     )
+    pt.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     pt.add_argument("output", help="checkpoint output directory")
 
     pe = sub.add_parser(
@@ -127,6 +141,21 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--het-rate", type=float, default=0.005)
     pe.add_argument("--seed", type=int, default=12345)
     return ap
+
+
+def _build_mesh(n_dev: int, tp: int):
+    """1-D data mesh, or a 2-D (data, model) mesh when tp > 1."""
+    if tp > 1:
+        from .parallel.tensor import make_mesh_2d
+
+        if n_dev % tp:
+            raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
+        return make_mesh_2d(n_dev // tp, tp)
+    if n_dev > 1:
+        from .parallel.mesh import make_mesh
+
+        return make_mesh(n_dev)
+    return None
 
 
 def _load(args, core=None, neighbour=None):
@@ -163,7 +192,6 @@ def cmd_inference(args) -> None:
 
     from .io.fastx import read_cluster
     from .models.checkpoint import load_or_init
-    from .parallel.mesh import make_mesh
     from .pipeline.engine import AlnMode, alignment_stream, run_correction
     from .pipeline.infer import CorrectionRunner
 
@@ -172,10 +200,11 @@ def cmd_inference(args) -> None:
 
     cfg, params = load_or_init(args.model)
     n_dev = args.devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    if mesh is not None and args.batch_size % n_dev:
+    mesh = _build_mesh(n_dev, args.tp)
+    n_data = n_dev // max(args.tp, 1)
+    if mesh is not None and args.batch_size % n_data:
         raise SystemExit(
-            f"batch size {args.batch_size} not divisible by {n_dev} devices"
+            f"batch size {args.batch_size} not divisible by data size {n_data}"
         )
     runner = CorrectionRunner(cfg, params, mesh=mesh)
 
@@ -238,30 +267,48 @@ def cmd_train(args) -> None:
     import jax
 
     from .models.checkpoint import load_or_init, save_model
-    from .parallel.mesh import make_mesh
     from .training.data import batch_iterator, simulated_windows
     from .training.simulate import simulate
     from .training.train import Trainer
 
     cfg, params = load_or_init(args.config)
     n_dev = args.devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    mesh = _build_mesh(n_dev, args.tp)
 
-    print("Simulating training data...", file=sys.stderr)
-    ds = simulate(
-        genome_len=args.genome_len,
-        n_reads=args.n_reads,
-        read_len=(4 * args.window_size, 12 * args.window_size),
-        sub_rate=args.sub_rate,
-        ins_rate=args.indel_rate / 2,
-        del_rate=args.indel_rate / 2,
-        het_rate=args.het_rate,
-        seed=args.seed,
-    )
-    with tempfile.TemporaryDirectory() as tmp:
-        windows = simulated_windows(
-            ds, f"{tmp}/reads.fastq", args.window_size
+    windows = None
+    if args.data_cache:
+        import pickle
+
+        try:
+            with open(args.data_cache, "rb") as fh:
+                windows = pickle.load(fh)
+            print(
+                f"Loaded {len(windows)} cached windows from {args.data_cache}.",
+                file=sys.stderr,
+            )
+        except FileNotFoundError:
+            pass
+    if windows is None:
+        print("Simulating training data...", file=sys.stderr)
+        ds = simulate(
+            genome_len=args.genome_len,
+            n_reads=args.n_reads,
+            read_len=(4 * args.window_size, 12 * args.window_size),
+            sub_rate=args.sub_rate,
+            ins_rate=args.indel_rate / 2,
+            del_rate=args.indel_rate / 2,
+            het_rate=args.het_rate,
+            seed=args.seed,
         )
+        with tempfile.TemporaryDirectory() as tmp:
+            windows = simulated_windows(
+                ds, f"{tmp}/reads.fastq", args.window_size
+            )
+        if args.data_cache:
+            import pickle
+
+            with open(args.data_cache, "wb") as fh:
+                pickle.dump(windows, fh)
     print(f"{len(windows)} labelled windows.", file=sys.stderr)
 
     trainer = Trainer(cfg, params, lr=args.lr, total_steps=args.steps, mesh=mesh)

@@ -44,6 +44,11 @@ class ModelConfig:
     # auto / flash (pallas) / chunked / naive — see ops/attention.py
     attn_impl: str = "auto"
     dtype: str = "bfloat16"
+    # Rematerialise each block in the backward pass: saved activations drop
+    # from O(n_layers * L * (d_ff + 3*d_model)) to one residual per layer,
+    # which is what lets a [32, 5120] train batch fit in 16G of HBM. Free at
+    # inference (XLA drops the recompute when nothing needs residuals).
+    remat: bool = True
 
     @property
     def compute_dtype(self):
@@ -154,8 +159,9 @@ class CorrectionModel(nn.Module):
         # Positions count real columns so padding never shifts phases.
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
 
+        block_cls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.n_layers):
-            x = Block(cfg, name=f"block_{i}")(x, lengths, positions)
+            x = block_cls(cfg, name=f"block_{i}")(x, lengths, positions)
         x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln_f")(x)
 
         # Gather supported columns: [B, S, d]

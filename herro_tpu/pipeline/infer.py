@@ -80,12 +80,14 @@ class CorrectionRunner:
         self.collect_info = collect_info
         step = make_correct_step(cfg)
         if mesh is not None:
+            from ..parallel.tensor import param_shardings
+
             data = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, repl)
+            pshard = param_shardings(mesh, params)
+            self.params = jax.device_put(params, pshard)
             self._step = jax.jit(
                 step,
-                in_shardings=(repl, data, data, data, data, data),
+                in_shardings=(pshard, data, data, data, data, data),
                 out_shardings=(data, data, data),
             )
         else:

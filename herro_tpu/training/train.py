@@ -52,7 +52,7 @@ def make_optimizer(
 
 
 def make_train_step(cfg: ModelConfig, optimizer, info_weight: float = 0.1,
-                    mesh: Mesh | None = None):
+                    mesh: Mesh | None = None, params_like=None, opt_like=None):
     model = CorrectionModel(cfg)
 
     def loss_fn(params, tokens, quals_u8, sidx, smask, labels, info_labels):
@@ -80,12 +80,16 @@ def make_train_step(cfg: ModelConfig, optimizer, info_weight: float = 0.1,
         return params, opt_state, metrics
 
     if mesh is not None:
+        from ..parallel.tensor import param_shardings
+
         data = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
+        pshard = param_shardings(mesh, params_like) if params_like is not None else repl
+        oshard = opt_like if opt_like is not None else repl
         return jax.jit(
             step,
-            in_shardings=(repl, repl, data, data, data, data, data, data),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(pshard, oshard, data, data, data, data, data, data),
+            out_shardings=(pshard, oshard, repl),
         )
     return jax.jit(step)
 
@@ -102,11 +106,29 @@ class Trainer:
     ):
         self.cfg = cfg
         self.optimizer = make_optimizer(lr, total_steps=total_steps)
+        opt_like = None
         if mesh is not None:
+            from ..parallel.tensor import param_shardings
+
+            params = jax.device_put(params, param_shardings(mesh, params))
+        opt_state = self.optimizer.init(params)
+        if mesh is not None:
+            # mu/nu inherit the param shardings through zeros_like; pin the
+            # remaining scalars (step counts) to the replicated mesh sharding
+            # so every train-step input lives on the same device set.
             repl = NamedSharding(mesh, P())
-            params = jax.device_put(params, repl)
-        self.state = TrainState(params, self.optimizer.init(params))
-        self._step = make_train_step(cfg, self.optimizer, info_weight, mesh)
+            opt_state = jax.tree.map(
+                lambda x: x
+                if isinstance(getattr(x, "sharding", None), NamedSharding)
+                else jax.device_put(jnp.asarray(x), repl),
+                opt_state,
+            )
+            opt_like = jax.tree.map(lambda x: x.sharding, opt_state)
+        self.state = TrainState(params, opt_state)
+        self._step = make_train_step(
+            cfg, self.optimizer, info_weight, mesh,
+            params_like=params, opt_like=opt_like,
+        )
         self.mesh = mesh
 
     def train_step(self, batch: TrainBatch) -> dict[str, float]:

@@ -1,0 +1,99 @@
+"""Parallelism: 1-D data mesh vs 2-D (data, model) tensor-parallel mesh.
+
+Runs on the 8 virtual CPU devices from conftest. TP shards attention heads
+and the FFN hidden axis (parallel/tensor.py); results must match the
+unsharded single-device step bit-for-... well, to float tolerance (collective
+reduction order differs).
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from herro_tpu.models.model import ModelConfig, init_params
+from herro_tpu.parallel.mesh import make_mesh
+from herro_tpu.parallel.tensor import make_mesh_2d, param_shardings
+from herro_tpu.pipeline.infer import make_correct_step
+from herro_tpu.training.train import TrainBatch, Trainer
+
+from __graft_entry__ import _example_batch
+
+# 2 heads / d_ff 64 divide tp=2; float32 so tolerances are meaningful
+CFG = ModelConfig(
+    d_model=32, n_layers=2, n_heads=2, d_ff=64, base_embed_dim=4, dtype="float32"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.PRNGKey(7))
+    batch = _example_batch(B=8, L=128, S=16, seed=5)
+    return params, batch
+
+
+def _run(step, params, batch):
+    info, classes, dec = step(params, *batch)
+    return np.asarray(info), np.asarray(classes), np.asarray(dec)
+
+
+def test_tp_matches_single_device(setup):
+    params, batch = setup
+    base = _run(jax.jit(make_correct_step(CFG)), params, batch)
+
+    mesh = make_mesh_2d(4, 2)
+    pshard = param_shardings(mesh, params)
+    data = NamedSharding(mesh, P("data"))
+    sharded = jax.device_put(params, pshard)
+    step = jax.jit(
+        make_correct_step(CFG),
+        in_shardings=(pshard, data, data, data, data, data),
+        out_shardings=(data, data, data),
+    )
+    tp = _run(step, sharded, batch)
+
+    np.testing.assert_allclose(tp[0], base[0], rtol=2e-4, atol=2e-4)
+    # decisions are integer classes; argmax may flip only on exact ties
+    assert (tp[1] == base[1]).mean() > 0.999
+    np.testing.assert_array_equal(tp[2], base[2])
+
+
+def test_param_shardings_layout(setup):
+    params, _ = setup
+    mesh = make_mesh_2d(4, 2)
+    shard = param_shardings(mesh, params)
+    flat = {
+        "/".join(str(k.key) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(shard)[0]
+    }
+    assert flat["params/block_0/attn/qkv/kernel"].spec == P(None, None, "model", None)
+    assert flat["params/block_0/ff1/kernel"].spec == P(None, "model")
+    assert flat["params/block_0/ff2/kernel"].spec == P("model", None)
+    assert flat["params/col_proj/kernel"].spec == P()
+
+    # 1-D mesh: everything replicated
+    shard1 = param_shardings(make_mesh(8), params)
+    for _, s in jax.tree_util.tree_flatten_with_path(shard1)[0]:
+        assert s.spec == P()
+
+
+def test_tp_train_step(setup):
+    params, batch = setup
+    mesh = make_mesh_2d(4, 2)
+    trainer = Trainer(CFG, params, lr=1e-3, total_steps=4, mesh=mesh)
+    tokens, quals, sidx, smask, _ = batch
+    rng = np.random.default_rng(0)
+    tb = TrainBatch(
+        tokens=tokens,
+        quals=quals,
+        support_idx=sidx,
+        support_mask=smask,
+        labels=rng.integers(0, 5, size=sidx.shape).astype(np.int32),
+        info_labels=rng.integers(0, 2, size=sidx.shape).astype(np.float32),
+    )
+    m1 = trainer.train_step(tb)
+    m2 = trainer.train_step(tb)
+    assert np.isfinite(m1["loss"]) and m2["loss"] < m1["loss"] + 1.0
+    # params keep their TP sharding across steps
+    qkv = trainer.state.params["params"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, None, "model", None)
