@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="write a jax.profiler trace of the run to this directory",
     )
+    pi.add_argument(
+        "--coordinator",
+        default="",
+        help="multi-host: coordinator address host:port for jax.distributed",
+    )
+    pi.add_argument(
+        "--num-processes", type=int, default=0, help="multi-host: process count"
+    )
+    pi.add_argument(
+        "--process-id", type=int, default=0, help="multi-host: this process's index"
+    )
     pi.add_argument("output", help="corrected reads FASTA path")
 
     pt = sub.add_parser(
@@ -192,9 +203,14 @@ def cmd_inference(args) -> None:
 
     from .io.fastx import read_cluster
     from .models.checkpoint import load_or_init
+    from .parallel.mesh import init_distributed
     from .pipeline.engine import AlnMode, alignment_stream, run_correction
     from .pipeline.infer import CorrectionRunner
 
+    if args.num_processes:
+        init_distributed(
+            args.coordinator or None, args.num_processes, args.process_id
+        )
     core, neighbour = read_cluster(args.cluster)
     reads = _load(args, core, neighbour)
 
@@ -361,6 +377,15 @@ def cmd_eval(args) -> None:
 
 
 def main(argv: list[str] | None = None) -> None:
+    import os
+
+    # An ambient platform plugin can override JAX_PLATFORMS; honor an explicit
+    # platform choice through jax.config before the backend initialises.
+    forced = os.environ.get("HERRO_TPU_PLATFORM")
+    if forced:
+        import jax
+
+        jax.config.update("jax_platforms", forced)
     args = build_parser().parse_args(argv)
     if args.command == "features":
         cmd_features(args)

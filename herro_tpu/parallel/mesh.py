@@ -15,7 +15,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+    """Mesh over process-local devices.
+
+    Multi-host runs keep one independent replica pipeline per process (the
+    work splits upstream: alignment batches are target-partitioned and
+    strided by process index), so meshes never span hosts — exactly the
+    reference's replicated-per-device model (src/lib.rs:154-200), with
+    jax.distributed supplying the process indexing.
+    """
+    devs = jax.local_devices()
     if n_devices is not None and n_devices > 0:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
@@ -31,7 +39,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """Multi-host runtime init (no-op when single-process)."""
+    """Multi-host runtime init (no-op when single-process).
+
+    ``HERRO_TPU_PLATFORM`` forces the JAX platform through jax.config before
+    the backend initialises — needed because an ambient platform plugin can
+    override the ``JAX_PLATFORMS`` env var (multi-process CPU tests rely on
+    this).
+    """
+    import os
+
+    forced = os.environ.get("HERRO_TPU_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(

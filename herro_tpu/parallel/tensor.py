@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
-    devs = jax.devices()
+    devs = jax.local_devices()
     n = n_data * n_model
     assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
     grid = np.asarray(devs[:n]).reshape(n_data, n_model)
