@@ -222,15 +222,20 @@ def get_supported(bases: np.ndarray) -> np.ndarray:
     A column is supported when at least two of {A,C,G,T,*} (case-folded,
     '#'-folded) reach 10% of the row count (reference: src/features.rs:681-722).
     """
+    from .. import native
+
     L, n_cols = bases.shape
-    folded = BASE_FORWARD[bases]
     thresh = int(n_cols * 0.1)
 
-    counts = np.empty((L, 5), dtype=np.int32)
-    for k, sym in enumerate(b"ACGT*"):
-        counts[:, k] = (folded == sym).sum(axis=1)
-    n_reaching = (counts >= thresh).sum(axis=1)
-    mask = n_reaching >= 2
+    if native.available() and bases.flags.c_contiguous:
+        mask = native.supported_mask(bases, thresh)
+    else:
+        folded = BASE_FORWARD[bases]
+        counts = np.empty((L, 5), dtype=np.int32)
+        for k, sym in enumerate(b"ACGT*"):
+            counts[:, k] = (folded == sym).sum(axis=1)
+        n_reaching = (counts >= thresh).sum(axis=1)
+        mask = n_reaching >= 2
 
     tgt = bases[:, 0]
     is_anchor = tgt != GAP_FWD

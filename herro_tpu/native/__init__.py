@@ -51,30 +51,25 @@ def _load():
         print(f"[herro-tpu] cannot load native lib ({e})", file=sys.stderr)
         return None
 
-    i64, i32, u8p, i32p, i64p, u64p, dbl = (
-        ctypes.c_int64,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_uint64),
-        ctypes.c_double,
-    )
-    lib.ht_decode_2bit.argtypes = [u64p, i64, i64, ctypes.c_int, u8p]
-    lib.ht_encode_2bit.argtypes = [u8p, i64, u64p]
+    # Pointers are passed as raw addresses (arr.ctypes.data) via c_void_p:
+    # building ctypes POINTER casts per call costs more than some kernels.
+    i64, ptr, dbl = ctypes.c_int64, ctypes.c_void_p, ctypes.c_double
+    lib.ht_decode_2bit.argtypes = [ptr, i64, i64, ctypes.c_int, ptr]
+    lib.ht_encode_2bit.argtypes = [ptr, i64, ptr]
     lib.ht_extract_windows.argtypes = [
-        u8p, i32p, i64, i64, i64, i64, i64, i64, i64, i64p, i64,
+        ptr, ptr, i64, i64, i64, i64, i64, i64, i64, ptr, i64,
     ]
     lib.ht_extract_windows.restype = i64
-    lib.ht_max_ins.argtypes = [u8p, i32p, i64, i64, i64, i64, i64, i32p]
+    lib.ht_max_ins.argtypes = [ptr, ptr, i64, i64, i64, i64, i64, ptr]
     lib.ht_fill_query_row.argtypes = [
-        u8p, u8p, i64, i64, u8p, i32p, i64, i64, i64, i64, i64,
-        ctypes.c_int, u8p, u8p, i64p, i32p,
+        ptr, ptr, i64, i64, ptr, ptr, i64, i64, i64, i64, i64,
+        ctypes.c_int, ptr, ptr, ptr, ptr,
     ]
     lib.ht_window_accuracy.argtypes = [
-        u8p, i32p, i64, i64, i64, i64, u8p, u8p,
+        ptr, ptr, i64, i64, i64, i64, ptr, ptr,
     ]
     lib.ht_window_accuracy.restype = dbl
+    lib.ht_supported_mask.argtypes = [ptr, i64, i64, i64, ptr]
     return lib
 
 
@@ -85,15 +80,14 @@ def available() -> bool:
     return _lib is not None
 
 
-def _p(arr: np.ndarray, ctype):
-    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
 
 
 def decode_2bit(words: np.ndarray, start: int, end: int, rc: bool) -> np.ndarray:
     out = np.empty(max(end - start, 0), dtype=np.uint8)
     if end > start:
         _lib.ht_decode_2bit(
-            _p(words, ctypes.c_uint64), start, end, int(rc), _p(out, ctypes.c_uint8)
+            words.ctypes.data, start, end, int(rc), out.ctypes.data
         )
     return out
 
@@ -103,7 +97,7 @@ def encode_2bit(seq: np.ndarray) -> np.ndarray:
     out = np.zeros((n + 31) // 32, dtype=np.uint64)
     if n:
         _lib.ht_encode_2bit(
-            _p(seq, ctypes.c_uint8), n, _p(out, ctypes.c_uint64)
+            seq.ctypes.data, n, out.ctypes.data
         )
     return out
 
@@ -123,8 +117,8 @@ def extract_windows_rows(
     max_rows = (tend - tstart) // window_size + 3
     out = np.empty((max_rows, 8), dtype=np.int64)
     n = _lib.ht_extract_windows(
-        _p(codes, ctypes.c_uint8),
-        _p(lens, ctypes.c_int32),
+        codes.ctypes.data,
+        lens.ctypes.data,
         codes.shape[0],
         tstart,
         tend,
@@ -132,7 +126,7 @@ def extract_windows_rows(
         qstart,
         qend,
         window_size,
-        _p(out, ctypes.c_int64),
+        out.ctypes.data,
         max_rows,
     )
     assert n >= 0, "native window buffer overflow"
@@ -150,14 +144,14 @@ def max_ins_accumulate(
     max_ins: np.ndarray,
 ) -> None:
     _lib.ht_max_ins(
-        _p(codes, ctypes.c_uint8),
-        _p(lens, ctypes.c_int32),
+        codes.ctypes.data,
+        lens.ctypes.data,
         op_s,
         off_s,
         op_e,
         off_e,
         t_base,
-        _p(max_ins, ctypes.c_int32),
+        max_ins.ctypes.data,
     )
 
 
@@ -180,23 +174,32 @@ def fill_query_row(
     stride = bases_row.strides[0]
     assert quals_row.strides[0] == stride
     _lib.ht_fill_query_row(
-        _p(bases_row, ctypes.c_uint8),
-        _p(quals_row, ctypes.c_uint8),
+        bases_row.ctypes.data,
+        quals_row.ctypes.data,
         stride,
         bases_row.shape[0],
-        _p(codes, ctypes.c_uint8),
-        _p(lens, ctypes.c_int32),
+        codes.ctypes.data,
+        lens.ctypes.data,
         op_s,
         off_s,
         op_e,
         off_e,
         t_base,
         int(strand_rev),
-        _p(qseq, ctypes.c_uint8),
-        _p(qqual, ctypes.c_uint8),
-        _p(anchor, ctypes.c_int64),
-        _p(max_ins, ctypes.c_int32),
+        qseq.ctypes.data,
+        qqual.ctypes.data,
+        anchor.ctypes.data,
+        max_ins.ctypes.data,
     )
+
+
+def supported_mask(bases: np.ndarray, thresh: int) -> np.ndarray:
+    """Per-pileup-column supported flags for a row-major (L, C) byte matrix."""
+    assert bases.flags.c_contiguous
+    L, C = bases.shape
+    out = np.empty(L, dtype=np.uint8)
+    _lib.ht_supported_mask(bases.ctypes.data, L, C, thresh, out.ctypes.data)
+    return out.view(bool)
 
 
 def window_accuracy(
@@ -210,12 +213,12 @@ def window_accuracy(
     qseq: np.ndarray,
 ) -> float:
     return _lib.ht_window_accuracy(
-        _p(codes, ctypes.c_uint8),
-        _p(lens, ctypes.c_int32),
+        codes.ctypes.data,
+        lens.ctypes.data,
         op_s,
         off_s,
         op_e,
         off_e,
-        _p(tseq, ctypes.c_uint8),
-        _p(qseq, ctypes.c_uint8),
+        tseq.ctypes.data,
+        qseq.ctypes.data,
     )

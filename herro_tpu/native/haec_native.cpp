@@ -296,4 +296,39 @@ double ht_window_accuracy(const uint8_t* codes, const int32_t* lens,
   return total ? (double)m / (double)total : 0.0;
 }
 
+// ---------------------------------------------------------------------------
+// Supported-column mask (reference: src/features.rs:681-722)
+//
+// bases is the (L, C) row-major pileup byte matrix; a pileup column l is
+// supported when >= 2 of the case-folded classes {A,C,G,T,*} reach `thresh`
+// occurrences among its C reads.
+// ---------------------------------------------------------------------------
+
+void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
+                       int64_t thresh, uint8_t* mask) {
+  static uint8_t cls[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) cls[i] = 255;
+    const char* fwd = "ACGT*";
+    const char* rev = "acgt#";
+    for (int k = 0; k < 5; ++k) {
+      cls[(uint8_t)fwd[k]] = (uint8_t)k;
+      cls[(uint8_t)rev[k]] = (uint8_t)k;
+    }
+    init = true;
+  }
+  for (int64_t l = 0; l < L; ++l) {
+    const uint8_t* row = bases + l * C;
+    int32_t counts[5] = {0, 0, 0, 0, 0};
+    for (int64_t c = 0; c < C; ++c) {
+      uint8_t k = cls[row[c]];
+      if (k < 5) ++counts[k];
+    }
+    int n_reach = 0;
+    for (int k = 0; k < 5; ++k) n_reach += counts[k] >= thresh;
+    mask[l] = n_reach >= 2;
+  }
+}
+
 }  // extern "C"

@@ -138,3 +138,18 @@ def test_pileup_and_accuracy_parity(seed, monkeypatch):
         assert b_n.tobytes() == b_p.tobytes()
         assert q_n.tobytes() == q_p.tobytes()
         assert abs(acc_n - acc_p) < 1e-12
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_supported_mask_parity(seed, monkeypatch):
+    rng = np.random.default_rng(300 + seed)
+    L = int(rng.integers(1, 200))
+    C = int(rng.integers(2, 64))
+    symbols = np.frombuffer(b"ACGT*acgt#.", dtype=np.uint8)
+    bases = rng.choice(symbols, size=(L, C))
+    bases[:, 0] = rng.choice(np.frombuffer(b"ACGT*", dtype=np.uint8), size=L)
+
+    sup_native = fpile.get_supported(bases)
+    monkeypatch.setattr(native, "available", lambda: False)
+    sup_py = fpile.get_supported(bases)
+    np.testing.assert_array_equal(sup_native, sup_py)
