@@ -18,8 +18,10 @@ import numpy as np
 
 M, I, D = 0, 1, 2
 
-_CIGAR_RE = re.compile(rb"(\d+)([MID])")
-_CODE_OF = {b"M": M, b"I": I, b"D": D}
+# '='/'X' fold into M at parse time — the array equivalent of the reference's
+# mismatch->match rewrite in get_proper_cigar (src/aligners.rs:105-112).
+_CIGAR_RE = re.compile(rb"(\d+)([MID=X])")
+_CODE_OF = {b"M": M, b"I": I, b"D": D, b"=": M, b"X": M}
 
 
 @dataclass
@@ -39,17 +41,8 @@ class Cigar:
         return self.codes.shape[0]
 
 
-def parse_cigar(cigar: bytes) -> Cigar:
-    ops = _CIGAR_RE.findall(cigar)
-    n = len(ops)
-    # Validate: the regex must consume the whole string.
-    if sum(len(l) + 1 for l, _ in ops) != len(cigar):
-        raise ValueError(f"Invalid CIGAR: {cigar[:60]!r}")
-    codes = np.empty(n, dtype=np.uint8)
-    lens = np.empty(n, dtype=np.int32)
-    for i, (l, op) in enumerate(ops):
-        codes[i] = _CODE_OF[op]
-        lens[i] = int(l)
+def _build(codes: np.ndarray, lens: np.ndarray) -> Cigar:
+    n = codes.shape[0]
     t_adv = np.where(codes != I, lens, 0).astype(np.int64)
     q_adv = np.where(codes != D, lens, 0).astype(np.int64)
     t_cum = np.zeros(n + 1, dtype=np.int64)
@@ -59,9 +52,132 @@ def parse_cigar(cigar: bytes) -> Cigar:
     return Cigar(codes, lens, t_cum, q_cum)
 
 
+def _coalesce(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge adjacent same-code runs (src/aligners.rs:127-135)."""
+    if codes.shape[0] == 0:
+        return codes, lens
+    new_run = np.empty(codes.shape[0], dtype=bool)
+    new_run[0] = True
+    new_run[1:] = codes[1:] != codes[:-1]
+    seg = np.cumsum(new_run) - 1
+    out_lens = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+    np.add.at(out_lens, seg, lens.astype(np.int64))
+    return codes[new_run], out_lens.astype(np.int32)
+
+
+def parse_cigar(cigar: bytes) -> Cigar:
+    ops = _CIGAR_RE.findall(cigar)
+    n = len(ops)
+    # Validate: the regex must consume the whole string.
+    if sum(len(l) + 1 for l, _ in ops) != len(cigar):
+        raise ValueError(f"Invalid CIGAR: {cigar[:60]!r}")
+    codes = np.empty(n, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int32)
+    has_eqx = False
+    for i, (l, op) in enumerate(ops):
+        codes[i] = _CODE_OF[op]
+        lens[i] = int(l)
+        has_eqx |= op in (b"=", b"X")
+    if has_eqx:
+        codes, lens = _coalesce(codes, lens)
+    return _build(codes, lens)
+
+
 def cigar_to_string(cig: Cigar) -> bytes:
     sym = b"MID"
     return b"".join(b"%d%c" % (l, sym[c]) for c, l in zip(cig.codes, cig.lens))
+
+
+def orient_cigar(cig: Cigar, is_target: bool, strand_rev: bool) -> Cigar:
+    """Re-orient a target-oriented CIGAR for the query side
+    (src/aligners.rs:105-136 ``get_proper_cigar``).
+
+    Query-side view swaps I<->D; a reverse-strand query additionally reverses
+    the op order. Mismatch folding already happened at parse time.
+    """
+    if is_target:
+        return cig
+    swapped = cig.codes.copy()
+    swapped[cig.codes == I] = D
+    swapped[cig.codes == D] = I
+    lens = cig.lens
+    if strand_rev:
+        swapped = swapped[::-1].copy()
+        lens = lens[::-1].copy()
+    codes, lens = _coalesce(swapped, lens)
+    return _build(codes, lens)
+
+
+def left_align_indels(
+    cig: Cigar, tseq: np.ndarray, qseq: np.ndarray
+) -> tuple[Cigar, int, int]:
+    """Left-align indels through repeats, minimap2-style
+    (src/aligners.rs:138-250 ``fix_cigar``; upstream minimap2 align.c:91).
+
+    An indel flanked by match ops shifts left while the base preceding it
+    equals the base the shift exposes (homopolymers / tandem repeats slide to
+    their leftmost placement). Leading zero-length matches and a leading
+    indel are dropped; a dropped leading deletion / insertion is reported as
+    ``tshift`` / ``qshift`` (bases the caller must advance its start by).
+    Returns the normalised CIGAR with adjacent same-kind ops merged.
+    """
+    codes = cig.codes.astype(np.int64).tolist()
+    lens = cig.lens.astype(np.int64).tolist()
+    n = len(codes)
+    tpos = qpos = 0
+    for i in range(n):
+        if codes[i] == M:
+            tpos += lens[i]
+            qpos += lens[i]
+            continue
+        if 0 < i < n - 1 and codes[i - 1] == M and codes[i + 1] == M:
+            prev_len = lens[i - 1]
+            length = lens[i]
+            shift = 0
+            if codes[i] == I:
+                while shift < prev_len and qseq[qpos - 1 - shift] == qseq[
+                    qpos + length - 1 - shift
+                ]:
+                    shift += 1
+            else:
+                while shift < prev_len and tseq[tpos - 1 - shift] == tseq[
+                    tpos + length - 1 - shift
+                ]:
+                    shift += 1
+            if shift:
+                lens[i - 1] -= shift
+                lens[i + 1] += shift
+                tpos -= shift
+                qpos -= shift
+        if codes[i] == I:
+            qpos += lens[i]
+        else:
+            tpos += lens[i]
+
+    # Trim the (possibly emptied) head, record a leading indel as a shift.
+    tshift = qshift = 0
+    start = 0
+    while start < len(codes):
+        if codes[start] == M and lens[start] > 0:
+            break
+        if codes[start] == I:
+            qshift = lens[start]
+            start += 1
+            break
+        if codes[start] == D:
+            tshift = lens[start]
+            start += 1
+            break
+        start += 1  # zero-length match
+    keep = [(c, l) for c, l in zip(codes[start:], lens[start:]) if l > 0]
+    if keep:
+        kc = np.asarray([c for c, _ in keep], dtype=np.uint8)
+        kl = np.asarray([l for _, l in keep], dtype=np.int32)
+        kc, kl = _coalesce(kc, kl)
+    else:
+        kc = np.empty(0, dtype=np.uint8)
+        kl = np.empty(0, dtype=np.int32)
+    return _build(kc, kl), tshift, qshift
 
 
 def slice_lengths(
