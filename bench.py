@@ -57,7 +57,7 @@ def main(batch_size: int = 32, L: int = 4608, S: int = 128, iters: int = 20) -> 
     # fetched to host memory.
     from collections import deque
 
-    depth = 3
+    depth = 6
     t0 = time.perf_counter()
     inflight: deque = deque()
     for i in range(iters):

@@ -91,7 +91,9 @@ class CorrectionRunner:
                 out_shardings=(data, data, data),
             )
         else:
-            self.params = params
+            # Pin params on device: checkpoints load as host numpy trees, and
+            # passing those to a jitted step re-uploads them on every batch.
+            self.params = jax.device_put(params)
             self._step = jax.jit(step)
 
     def dispatch(self, batch: Batch) -> "InFlight":
