@@ -74,10 +74,15 @@ class CorrectionRunner:
         params,
         mesh: Mesh | None = None,
         collect_info: bool = False,
+        counting_only: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.collect_info = collect_info
+        # Diagnostic: skip the model override at supported columns, leaving
+        # the pure counting-rule decode everywhere (quantifies the model's
+        # contribution vs the counting floor).
+        self.counting_only = counting_only
         step = make_correct_step(cfg)
         if mesh is not None:
             from ..parallel.tensor import param_shardings
@@ -128,8 +133,9 @@ class CorrectionRunner:
         for i, w in enumerate(batch.windows):
             l, s = w.length, w.n_supported
             dec = decisions[i, :l].copy()
-            # Model verdicts override the counting rule at supported columns.
-            dec[w.support_flat] = classes[i, :s]
+            if not self.counting_only:
+                # Model verdicts override counting at supported columns.
+                dec[w.support_flat] = classes[i, :s]
             out.append(
                 WindowResult(
                     rid=w.rid,

@@ -21,7 +21,7 @@ from ..overlaps.paf import parse_paf
 from ..pipeline.batching import BucketSpec
 from ..pipeline.engine import run_correction
 from ..pipeline.infer import CorrectionRunner
-from ..utils.edist import identity, qscore
+from ..utils.edist import identity, infix_identity, qscore
 from .simulate import SimDataset, paf_rows, simulate, true_sequence
 
 
@@ -32,6 +32,10 @@ class EvalResult:
     corrected_identity: float
     raw_q: float
     corrected_q: float
+    # per-base identity of corrected fragments over the truth span they cover
+    # (free end-gaps: doesn't charge the by-design window trimming)
+    corrected_infix_identity: float = 0.0
+    corrected_infix_q: float = 0.0
 
     def as_dict(self) -> dict:
         return self.__dict__.copy()
@@ -51,6 +55,7 @@ def _score(ds: SimDataset, reads, fasta_path: str) -> tuple[float, float]:
 
     idents = []
     raw_idents = []
+    infix_idents = []
     for r in ds.reads:
         frags = by_name.get(r.name)
         if not frags:
@@ -59,9 +64,14 @@ def _score(ds: SimDataset, reads, fasta_path: str) -> tuple[float, float]:
         # score the longest fragment against the truth (split reads rare)
         corrected = max(frags, key=len)
         idents.append(identity(corrected, truth))
+        infix_idents.append(infix_identity(corrected, truth))
         rid = reads.name_to_id[r.name]
         raw_idents.append(identity(reads.seq(rid).tobytes(), truth))
-    return float(np.mean(raw_idents)), float(np.mean(idents))
+    return (
+        float(np.mean(raw_idents)),
+        float(np.mean(idents)),
+        float(np.mean(infix_idents)),
+    )
 
 
 def evaluate(
@@ -77,6 +87,7 @@ def evaluate(
     seed: int = 12345,
     batch_size: int = 16,
     bucket_spec: BucketSpec | None = None,
+    counting_only: bool = False,
 ) -> EvalResult:
     ds = simulate(
         genome_len=genome_len,
@@ -96,7 +107,7 @@ def evaluate(
             paf_rows(ds, min_overlap=window_size), reads.name_to_id
         )
 
-        runner = CorrectionRunner(cfg, params)
+        runner = CorrectionRunner(cfg, params, counting_only=counting_only)
         out = os.path.join(tmp, "corrected.fasta")
         n = run_correction(
             reads,
@@ -107,7 +118,7 @@ def evaluate(
             batch_size,
             bucket_spec=bucket_spec,
         )
-        raw_i, cor_i = _score(ds, reads, out)
+        raw_i, cor_i, infix_i = _score(ds, reads, out)
 
     return EvalResult(
         n_reads=n,
@@ -115,4 +126,6 @@ def evaluate(
         corrected_identity=cor_i,
         raw_q=qscore(raw_i),
         corrected_q=qscore(cor_i),
+        corrected_infix_identity=infix_i,
+        corrected_infix_q=qscore(infix_i),
     )

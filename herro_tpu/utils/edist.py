@@ -69,6 +69,69 @@ def banded_edit_distance(a: bytes | np.ndarray, b: bytes | np.ndarray,
     return int(row[d + band])
 
 
+def fitting_edit_distance(a: bytes | np.ndarray, b: bytes | np.ndarray,
+                          band: int | None = None) -> int:
+    """Fitting-alignment distance: best Levenshtein distance of ``a`` against
+    any substring of ``b`` (free end-gaps on ``b`` only).
+
+    Consensus trims a corrected read to its covered window span
+    (src/consensus.rs:90-101), so scoring against the *full* truth charges the
+    trim as errors; the fitting distance scores only the aligned span.
+    """
+    a = np.frombuffer(a, dtype=np.uint8) if isinstance(a, (bytes, bytearray)) else a
+    b = np.frombuffer(b, dtype=np.uint8) if isinstance(b, (bytes, bytearray)) else b
+    n, m = len(a), len(b)
+    if n == 0:
+        return 0
+    if m == 0:
+        return n
+    if band is None:
+        band = abs(n - m) + max(32, (n + m) // 20)
+    band = min(band, max(n, m))
+
+    width = 2 * band + 1
+    ar = np.arange(width, dtype=np.int64)
+    offs = ar - band
+
+    # free prefix of b: D[0][j] = 0
+    row = np.where(offs >= 0, 0, _BIG).astype(np.int64)
+    row[offs > m] = _BIG
+
+    for i in range(1, n + 1):
+        j = i + offs
+        valid = (j >= 0) & (j <= m)
+
+        cost = np.full(width, 1, dtype=np.int64)
+        jj = j - 1
+        ok = (jj >= 0) & (jj < m)
+        cmp_idx = np.where(ok, jj, 0)
+        cost[ok & (b[cmp_idx] == a[i - 1])] = 0
+        diag = row + cost
+
+        up = np.concatenate([row[1:], [_BIG]])
+        up = up + 1
+
+        cand = np.minimum(diag, up)
+        cand[~valid] = _BIG
+
+        g = np.minimum.accumulate(cand - ar)
+        new_row = np.minimum(cand, g + ar)
+        new_row[~valid] = _BIG
+        row = new_row
+
+    # free suffix of b: min over the last row
+    return int(min(row.min(), n + m))
+
+
+def infix_identity(corrected: bytes, truth: bytes, band: int | None = None) -> float:
+    """1 - fitting_edit_distance / len(corrected): per-base identity of the
+    corrected fragment over the truth span it actually covers."""
+    if not corrected:
+        return 0.0
+    dist = fitting_edit_distance(corrected, truth, band)
+    return max(0.0, 1.0 - dist / len(corrected))
+
+
 def identity(corrected: bytes, truth: bytes, band: int | None = None) -> float:
     """1 - editdistance / len(truth)."""
     if not truth:

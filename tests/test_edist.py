@@ -61,3 +61,46 @@ def test_identity_and_q():
     assert identity(b"ACGT", b"ACGT") == 1.0
     assert abs(identity(b"ACGA", b"ACGT") - 0.75) < 1e-9
     assert qscore(0.99) == pytest.approx(20.0, abs=0.1)
+
+
+def test_fitting_distance_free_end_gaps():
+    from herro_tpu.utils.edist import fitting_edit_distance, infix_identity
+
+    # exact substring: zero distance regardless of flanks
+    assert fitting_edit_distance(b"ACGTACGT", b"TTTTACGTACGTGGGG") == 0
+    assert infix_identity(b"ACGTACGT", b"TTTTACGTACGTGGGG") == 1.0
+    # one substitution inside the matched span
+    assert fitting_edit_distance(b"ACGTACGT", b"TTACGAACGTGG") == 1
+    # empty corrected
+    assert fitting_edit_distance(b"", b"ACGT") == 0
+
+
+def test_fitting_distance_matches_global_when_full_span():
+    from herro_tpu.utils.edist import banded_edit_distance, fitting_edit_distance
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        a = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=200)
+        b = a.copy()
+        # mutate a few positions
+        idx = rng.choice(200, size=5, replace=False)
+        b[idx] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=5)
+        fd = fitting_edit_distance(a, b)
+        gd = banded_edit_distance(a, b)
+        assert fd <= gd
+
+
+def test_fitting_distance_brute_force_parity():
+    from herro_tpu.utils.edist import banded_edit_distance, fitting_edit_distance
+
+    rng = np.random.default_rng(9)
+    sym = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for _ in range(15):
+        a = rng.choice(sym, size=int(rng.integers(3, 12)))
+        b = rng.choice(sym, size=int(rng.integers(3, 20)))
+        brute = min(
+            banded_edit_distance(a, b[i:j], band=64)
+            for i in range(len(b) + 1)
+            for j in range(i, len(b) + 1)
+        )
+        assert fitting_edit_distance(a, b, band=64) == brute
