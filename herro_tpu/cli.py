@@ -71,9 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pi.add_argument(
         "--devices",
-        type=int,
-        default=0,
-        help="number of local devices for data parallelism (0 = all)",
+        default="0",
+        help="local devices for data parallelism: a count, or an explicit "
+        "index list like '0,1,3' (reference -d, src/main.rs:86-92); 0 = all",
     )
     pi.add_argument(
         "--tp",
@@ -134,7 +134,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--max-len", type=int, default=5120, help="padded window length")
     pt.add_argument("--max-sup", type=int, default=640, help="padded supported count")
     pt.add_argument(
-        "--devices", type=int, default=0, help="devices for data parallelism"
+        "--devices", default="0", help="devices: count or index list '0,1,3'"
     )
     pt.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     pt.add_argument("output", help="checkpoint output directory")
@@ -154,8 +154,25 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _build_mesh(n_dev: int, tp: int):
+def _parse_devices(spec, jax) -> "int | list[int]":
+    """'0' -> all local devices (count); '4' -> 4; '0,1,3' -> index list."""
+    spec = str(spec)
+    if "," in spec:
+        return [int(s) for s in spec.split(",") if s != ""]
+    n = int(spec)
+    return n or len(jax.local_devices())
+
+
+def _build_mesh(n_dev, tp: int):
     """1-D data mesh, or a 2-D (data, model) mesh when tp > 1."""
+    if isinstance(n_dev, list):
+        if tp > 1:
+            raise SystemExit("--tp with an explicit device list is unsupported")
+        if len(n_dev) > 1:
+            from .parallel.mesh import make_mesh
+
+            return make_mesh(n_dev)
+        return None
     if tp > 1:
         from .parallel.tensor import make_mesh_2d
 
@@ -215,9 +232,9 @@ def cmd_inference(args) -> None:
     reads = _load(args, core, neighbour)
 
     cfg, params = load_or_init(args.model)
-    n_dev = args.devices or len(jax.devices())
+    n_dev = _parse_devices(args.devices, jax)
     mesh = _build_mesh(n_dev, args.tp)
-    n_data = n_dev // max(args.tp, 1)
+    n_data = (len(n_dev) if isinstance(n_dev, list) else n_dev) // max(args.tp, 1)
     if mesh is not None and args.batch_size % n_data:
         raise SystemExit(
             f"batch size {args.batch_size} not divisible by data size {n_data}"
@@ -288,7 +305,7 @@ def cmd_train(args) -> None:
     from .training.train import Trainer
 
     cfg, params = load_or_init(args.config)
-    n_dev = args.devices or len(jax.devices())
+    n_dev = _parse_devices(args.devices, jax)
     mesh = _build_mesh(n_dev, args.tp)
 
     windows = None

@@ -24,7 +24,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     jax.distributed supplying the process indexing.
     """
     devs = jax.local_devices()
-    if n_devices is not None and n_devices > 0:
+    if isinstance(n_devices, (list, tuple)):
+        # explicit local device indices, like the reference's `-d 0,1,3`
+        # (src/main.rs:86-92)
+        devs = [devs[i] for i in n_devices]
+    elif n_devices is not None and n_devices > 0:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
