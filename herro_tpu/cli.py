@@ -7,8 +7,10 @@ Two subcommands mirroring the reference binary (src/main.rs:17-112):
     python -m herro_tpu.cli inference [--read-alns D | --write-alns D] \\
         [-w W] [-t N] -m MODEL [-b B] [-c CLUSTER] [--devices ...] READS OUTPUT
 
-``--devices`` replaces the reference's CUDA device list with a count of local
-TPU chips to use data-parallel (default: all).
+``--devices`` takes a count of local TPU chips or an explicit index list
+('0,1,3', like the reference's -d) to use data-parallel (default: all);
+``--tp N`` adds tensor parallelism over a 2-D mesh; ``--coordinator`` /
+``--num-processes`` / ``--process-id`` initialise the multi-host runtime.
 """
 
 from __future__ import annotations
