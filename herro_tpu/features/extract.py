@@ -61,7 +61,7 @@ def _query_window_bytes(
     if rev:
         start, end = q1 - ow.qend, q1 - ow.qstart
         seq = reads.seq(qid, start, end, rc=True)
-        qual = reads.qual(qid, start, end)[::-1]
+        qual = np.ascontiguousarray(reads.qual(qid, start, end)[::-1])
     else:
         start, end = q0 + ow.qstart, q0 + ow.qend
         seq = reads.seq(qid, start, end)
@@ -118,25 +118,44 @@ def extract_read_features(
             for ow in ows
         ]
 
+        # One pointer-array batch per window drives the native kernels
+        # (accuracy, max_ins, row fill) with one ctypes call each.
+        from .. import native
+
+        wb = None
+        if native.available() and ows:
+            wb = native.WindowBatch(
+                [cigars[ow.aln_idx].codes for ow in ows],
+                [cigars[ow.aln_idx].lens for ow in ows],
+                ows,
+                [ow.tstart - win_start for ow in ows],
+            )
+
         # Stable sort by window-local accuracy, descending
         # (src/features.rs:386-409).
-        accs = [
-            window_accuracy(
-                cigars[ow.aln_idx],
-                ow.op_start,
-                ow.start_off,
-                ow.op_end,
-                ow.end_off,
-                tseq[ow.tstart : win_start + win_len],
-                qdata[k][0],
-            )
-            for k, ow in enumerate(ows)
-        ]
+        if wb is not None:
+            tslices = [tseq[ow.tstart : win_start + win_len] for ow in ows]
+            accs = native.window_accuracies(wb, tslices, [q[0] for q in qdata])
+        else:
+            accs = [
+                window_accuracy(
+                    cigars[ow.aln_idx],
+                    ow.op_start,
+                    ow.start_off,
+                    ow.op_end,
+                    ow.end_off,
+                    tseq[ow.tstart : win_start + win_len],
+                    qdata[k][0],
+                )
+                for k, ow in enumerate(ows)
+            ]
         order = sorted(range(len(ows)), key=lambda k: -accs[k])
         ows = [ows[k] for k in order]
         qdata = [qdata[k] for k in order]
+        if wb is not None:
+            wb = wb.permute(order)
 
-        max_ins = window_max_ins(ows, cigars, win_start, win_len)
+        max_ins = window_max_ins(ows, cigars, win_start, win_len, wb=wb)
         bases, quals = fill_window_pileup(
             ows,
             cigars,
@@ -149,6 +168,7 @@ def extract_read_features(
             win_len,
             max_ins,
             TOP_K,
+            wb=wb,
         )
         supported = get_supported(bases)
         qids = [alignments[ow.aln_idx].other_id(rid) for ow in ows]

@@ -46,14 +46,19 @@ def window_max_ins(
     cigars: list[Cigar],
     win_start: int,
     win_len: int,
+    wb=None,
 ) -> np.ndarray:
     """Per-target-column maximum insertion length (src/features.rs:44-95).
 
     An insertion whose anchor is target-relative position ``t`` reserves
     columns after anchor ``t-1``; the reference indexes ``max_ins[tpos-1]``.
+    ``wb`` is an optional prebuilt ``native.WindowBatch`` (one call for all
+    rows).
     """
     from .. import native
 
+    if wb is not None:
+        return native.max_ins_batch(wb, win_len)
     max_ins = np.zeros(win_len, dtype=np.int32)
     if native.available():
         for ow in ows:
@@ -182,10 +187,12 @@ def fill_window_pileup(
     win_len: int,
     max_ins: np.ndarray,
     min_rows: int,
+    wb=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Assemble the full ``(L, 1 + max(n, min_rows))`` window pileup
     (reference: src/features.rs:268-313). Row data is stored column-major in
-    the reference sense: axis 1 indexes reads, axis 0 pileup columns."""
+    the reference sense: axis 1 indexes reads, axis 0 pileup columns.
+    ``wb`` is an optional prebuilt ``native.WindowBatch`` matching ``ows``."""
     length = win_len + int(max_ins.sum())
     n_cols = 1 + max(len(ows), min_rows)
     bases = np.full((length, n_cols), NO_ALN, dtype=np.uint8)
@@ -198,6 +205,14 @@ def fill_window_pileup(
     bases[:, 0] = GAP_FWD
     bases[anchor[:win_len], 0] = tseq[win_start : win_start + win_len]
     quals[anchor[:win_len], 0] = tqual[win_start : win_start + win_len]
+
+    if wb is not None and len(ows):
+        from .. import native
+
+        native.fill_rows(
+            bases, quals, wb, strands_rev, qseqs, qquals, anchor, max_ins
+        )
+        return bases, quals
 
     for i, ow in enumerate(ows):
         fill_query_row(

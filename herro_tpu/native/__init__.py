@@ -70,6 +70,14 @@ def _load():
     ]
     lib.ht_window_accuracy.restype = dbl
     lib.ht_supported_mask.argtypes = [ptr, i64, i64, i64, ptr]
+    lib.ht_max_ins_batch.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr]
+    lib.ht_fill_rows.argtypes = [
+        ptr, ptr, i64, i64, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr,
+        ptr, ptr, i64,
+    ]
+    lib.ht_window_accuracies.argtypes = [
+        ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr,
+    ]
     return lib
 
 
@@ -190,6 +198,94 @@ def fill_query_row(
         qqual.ctypes.data,
         anchor.ctypes.data,
         max_ins.ctypes.data,
+    )
+
+
+class WindowBatch:
+    """Per-window pointer-array staging for the batched native entry points.
+
+    Holds references to every per-overlap array so the addresses stay valid
+    for the duration of the calls.
+    """
+
+    def __init__(self, cigars_codes, cigars_lens, ows, t_bases):
+        n = len(ows)
+        self.n = n
+        self._keep = (cigars_codes, cigars_lens)
+        self.codes_p = np.fromiter(
+            (a.ctypes.data for a in cigars_codes), dtype=np.uint64, count=n
+        )
+        self.lens_p = np.fromiter(
+            (a.ctypes.data for a in cigars_lens), dtype=np.uint64, count=n
+        )
+        self.op_s = np.fromiter((ow.op_start for ow in ows), dtype=np.int64, count=n)
+        self.off_s = np.fromiter((ow.start_off for ow in ows), dtype=np.int64, count=n)
+        self.op_e = np.fromiter((ow.op_end for ow in ows), dtype=np.int64, count=n)
+        self.off_e = np.fromiter((ow.end_off for ow in ows), dtype=np.int64, count=n)
+        self.t_base = np.asarray(t_bases, dtype=np.int64)
+
+    def permute(self, order: list[int]) -> "WindowBatch":
+        b = object.__new__(WindowBatch)
+        b.n = self.n
+        b._keep = self._keep
+        idx = np.asarray(order, dtype=np.int64)
+        b.codes_p = self.codes_p[idx]
+        b.lens_p = self.lens_p[idx]
+        b.op_s = self.op_s[idx]
+        b.off_s = self.off_s[idx]
+        b.op_e = self.op_e[idx]
+        b.off_e = self.off_e[idx]
+        b.t_base = self.t_base[idx]
+        return b
+
+
+def window_accuracies(wb: WindowBatch, tseqs: list, qseqs: list) -> np.ndarray:
+    out = np.empty(wb.n, dtype=np.float64)
+    tp = np.fromiter((a.ctypes.data for a in tseqs), dtype=np.uint64, count=wb.n)
+    qp = np.fromiter((a.ctypes.data for a in qseqs), dtype=np.uint64, count=wb.n)
+    _lib.ht_window_accuracies(
+        wb.codes_p.ctypes.data, wb.lens_p.ctypes.data,
+        wb.op_s.ctypes.data, wb.off_s.ctypes.data,
+        wb.op_e.ctypes.data, wb.off_e.ctypes.data,
+        tp.ctypes.data, qp.ctypes.data, wb.n, out.ctypes.data,
+    )
+    return out
+
+
+def max_ins_batch(wb: WindowBatch, win_len: int) -> np.ndarray:
+    max_ins = np.zeros(win_len, dtype=np.int32)
+    _lib.ht_max_ins_batch(
+        wb.codes_p.ctypes.data, wb.lens_p.ctypes.data,
+        wb.op_s.ctypes.data, wb.off_s.ctypes.data,
+        wb.op_e.ctypes.data, wb.off_e.ctypes.data,
+        wb.t_base.ctypes.data, wb.n, max_ins.ctypes.data,
+    )
+    return max_ins
+
+
+def fill_rows(
+    bases: np.ndarray,
+    quals: np.ndarray,
+    wb: WindowBatch,
+    strands_rev,
+    qseqs: list,
+    qquals: list,
+    anchor: np.ndarray,
+    max_ins: np.ndarray,
+) -> None:
+    """Fill pileup rows 1..n of the (L, C) matrices in one native call."""
+    length, n_cols = bases.shape
+    sr = np.asarray(strands_rev, dtype=np.uint8)
+    qp = np.fromiter((a.ctypes.data for a in qseqs), dtype=np.uint64, count=wb.n)
+    qq = np.fromiter((a.ctypes.data for a in qquals), dtype=np.uint64, count=wb.n)
+    _lib.ht_fill_rows(
+        bases.ctypes.data, quals.ctypes.data, n_cols, length,
+        wb.codes_p.ctypes.data, wb.lens_p.ctypes.data,
+        wb.op_s.ctypes.data, wb.off_s.ctypes.data,
+        wb.op_e.ctypes.data, wb.off_e.ctypes.data,
+        wb.t_base.ctypes.data, sr.ctypes.data,
+        qp.ctypes.data, qq.ctypes.data,
+        anchor.ctypes.data, max_ins.ctypes.data, wb.n,
     )
 
 

@@ -297,6 +297,49 @@ double ht_window_accuracy(const uint8_t* codes, const int32_t* lens,
 }
 
 // ---------------------------------------------------------------------------
+// Batched per-window entry points: one call per window instead of one per
+// overlap row — the ctypes call overhead dominates at ~30 rows/window.
+// Pointer arrays arrive as uint64 addresses.
+// ---------------------------------------------------------------------------
+
+void ht_max_ins_batch(const uint64_t* codes_p, const uint64_t* lens_p,
+                      const int64_t* op_s, const int64_t* off_s,
+                      const int64_t* op_e, const int64_t* off_e,
+                      const int64_t* t_base, int64_t n, int32_t* max_ins) {
+  for (int64_t i = 0; i < n; ++i)
+    ht_max_ins((const uint8_t*)codes_p[i], (const int32_t*)lens_p[i], op_s[i],
+               off_s[i], op_e[i], off_e[i], t_base[i], max_ins);
+}
+
+void ht_fill_rows(uint8_t* bases, uint8_t* quals, int64_t n_cols,
+                  int64_t length, const uint64_t* codes_p,
+                  const uint64_t* lens_p, const int64_t* op_s,
+                  const int64_t* off_s, const int64_t* op_e,
+                  const int64_t* off_e, const int64_t* t_base,
+                  const uint8_t* strand_rev, const uint64_t* qseq_p,
+                  const uint64_t* qqual_p, const int64_t* anchor,
+                  const int32_t* max_ins, int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    ht_fill_query_row(bases + (i + 1), quals + (i + 1), n_cols, length,
+                      (const uint8_t*)codes_p[i], (const int32_t*)lens_p[i],
+                      op_s[i], off_s[i], op_e[i], off_e[i], t_base[i],
+                      (int)strand_rev[i], (const uint8_t*)qseq_p[i],
+                      (const uint8_t*)qqual_p[i], anchor, max_ins);
+}
+
+void ht_window_accuracies(const uint64_t* codes_p, const uint64_t* lens_p,
+                          const int64_t* op_s, const int64_t* off_s,
+                          const int64_t* op_e, const int64_t* off_e,
+                          const uint64_t* tseq_p, const uint64_t* qseq_p,
+                          int64_t n, double* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = ht_window_accuracy((const uint8_t*)codes_p[i],
+                                (const int32_t*)lens_p[i], op_s[i], off_s[i],
+                                op_e[i], off_e[i], (const uint8_t*)tseq_p[i],
+                                (const uint8_t*)qseq_p[i]);
+}
+
+// ---------------------------------------------------------------------------
 // Supported-column mask (reference: src/features.rs:681-722)
 //
 // bases is the (L, C) row-major pileup byte matrix; a pileup column l is
