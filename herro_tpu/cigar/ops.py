@@ -66,6 +66,17 @@ def _coalesce(codes: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def parse_cigar(cigar: bytes) -> Cigar:
+    from .. import native
+
+    if native.available():
+        parsed = native.parse_cigar_arrays(cigar)
+        if parsed is None:
+            raise ValueError(f"Invalid CIGAR: {cigar[:60]!r}")
+        codes, lens, has_eqx = parsed
+        if has_eqx:
+            codes, lens = _coalesce(codes, lens)
+        return _build(codes, lens)
+
     ops = _CIGAR_RE.findall(cigar)
     n = len(ops)
     # Validate: the regex must consume the whole string.

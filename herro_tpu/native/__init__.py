@@ -70,6 +70,8 @@ def _load():
     ]
     lib.ht_window_accuracy.restype = dbl
     lib.ht_supported_mask.argtypes = [ptr, i64, i64, i64, ptr]
+    lib.ht_parse_cigar.argtypes = [ptr, i64, ptr, ptr, ptr]
+    lib.ht_parse_cigar.restype = i64
     lib.ht_max_ins_batch.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr]
     lib.ht_fill_rows.argtypes = [
         ptr, ptr, i64, i64, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr,
@@ -199,6 +201,23 @@ def fill_query_row(
         anchor.ctypes.data,
         max_ins.ctypes.data,
     )
+
+
+def parse_cigar_arrays(cigar: bytes) -> tuple[np.ndarray, np.ndarray, bool] | None:
+    """(codes, lens, has_eqx) of an ASCII CIGAR, or None if malformed."""
+    n = len(cigar)
+    max_ops = n // 2 + 1
+    codes = np.empty(max_ops, dtype=np.uint8)
+    lens = np.empty(max_ops, dtype=np.int32)
+    flags = np.zeros(1, dtype=np.int32)
+    buf = np.frombuffer(cigar, dtype=np.uint8)
+    cnt = _lib.ht_parse_cigar(
+        buf.ctypes.data, n, codes.ctypes.data, lens.ctypes.data,
+        flags.ctypes.data,
+    )
+    if cnt < 0:
+        return None
+    return codes[:cnt], lens[:cnt], bool(flags[0] & 1)
 
 
 class WindowBatch:

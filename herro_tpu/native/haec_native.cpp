@@ -297,6 +297,48 @@ double ht_window_accuracy(const uint8_t* codes, const int32_t* lens,
 }
 
 // ---------------------------------------------------------------------------
+// CIGAR byte parse (the ingest hot loop: ~2.7k ops per ultra-long alignment,
+// tens of millions of ops per 50k-read batch). Emits (code, len) arrays;
+// '='/'X' fold into M (adjacent merging happens in numpy when flagged).
+// Returns the op count, or -1 on malformed input. out_flags bit0 set when
+// any '='/'X' was seen (caller must coalesce).
+// ---------------------------------------------------------------------------
+
+int64_t ht_parse_cigar(const uint8_t* s, int64_t n, uint8_t* codes,
+                       int32_t* lens, int32_t* out_flags) {
+  int64_t count = 0;
+  int64_t num = 0;
+  bool have_num = false;
+  int32_t flags = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t c = s[i];
+    if (c >= '0' && c <= '9') {
+      num = num * 10 + (c - '0');
+      if (num > INT32_MAX) return -1;
+      have_num = true;
+      continue;
+    }
+    uint8_t code;
+    switch (c) {
+      case 'M': code = OP_M; break;
+      case 'I': code = OP_I; break;
+      case 'D': code = OP_D; break;
+      case '=': case 'X': code = OP_M; flags |= 1; break;
+      default: return -1;
+    }
+    if (!have_num) return -1;
+    codes[count] = code;
+    lens[count] = (int32_t)num;
+    ++count;
+    num = 0;
+    have_num = false;
+  }
+  if (have_num) return -1;  // trailing digits without an op
+  *out_flags = flags;
+  return count;
+}
+
+// ---------------------------------------------------------------------------
 // Batched per-window entry points: one call per window instead of one per
 // overlap row — the ctypes call overhead dominates at ~30 rows/window.
 // Pointer arrays arrive as uint64 addresses.

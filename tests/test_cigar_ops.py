@@ -143,3 +143,35 @@ def test_left_align_spans_preserved():
         out, ts, qs = left_align_indels(cig, t, q)
         assert out.t_cum[-1] + ts == cig.t_cum[-1]
         assert out.q_cum[-1] + qs == cig.q_cum[-1]
+
+
+def test_parse_native_numpy_parity(monkeypatch):
+    import herro_tpu.native as native
+    from herro_tpu.cigar import ops as cops
+
+    rng = np.random.default_rng(11)
+    cases = [b"", b"5M", b"1M1I1D", b"5=1X4=2I3=", b"100M" * 50]
+    for _ in range(30):
+        n = int(rng.integers(1, 40))
+        parts = []
+        for _ in range(n):
+            parts.append(b"%d%c" % (rng.integers(1, 500), rng.choice(
+                np.frombuffer(b"MID=X", dtype=np.uint8))))
+        cases.append(b"".join(parts))
+    for c in cases:
+        a = cops.parse_cigar(c)
+        monkeypatch.setattr(native, "available", lambda: False)
+        b = cops.parse_cigar(c)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.lens, b.lens)
+        np.testing.assert_array_equal(a.t_cum, b.t_cum)
+        np.testing.assert_array_equal(a.q_cum, b.q_cum)
+
+    for bad in (b"5M3Q", b"12", b"M", b"5MM"):
+        with pytest.raises(ValueError):
+            cops.parse_cigar(bad)
+        monkeypatch.setattr(native, "available", lambda: False)
+        with pytest.raises(ValueError):
+            cops.parse_cigar(bad)
+        monkeypatch.undo()
