@@ -242,7 +242,9 @@ def run_correction(
             for wt in wts:
                 handle_window(wt)
     else:
-        _parallel_featgen(reads, source, window_size, feat_threads, handle_window)
+        _parallel_featgen(
+            reads, source, window_size, feat_threads, handle_window, timers
+        )
 
     for batch in batcher.flush():
         submit(batch)
@@ -259,13 +261,18 @@ def _parallel_featgen(
     window_size: int,
     n_threads: int,
     handle_window,
+    timers: StageTimers | None = None,
 ) -> None:
     """Feature workers on threads (numpy releases the GIL on bulk ops);
     window handling stays on the consumer thread so batching/consensus state
     needs no locks — mirrors the reference's featgen-thread fan-in
-    (src/lib.rs:159-187)."""
+    (src/lib.rs:159-187). ``timers.featgen_s`` accumulates summed worker
+    CPU-side wall time (can exceed elapsed time with >1 thread)."""
+    import time as _time
+
     in_q: queue.Queue = queue.Queue(maxsize=ALN_CHANNEL_CAPACITY)
     out_q: queue.Queue = queue.Queue(maxsize=4 * n_threads)
+    t_lock = threading.Lock()
 
     def worker():
         while True:
@@ -274,8 +281,14 @@ def _parallel_featgen(
                 out_q.put(None)
                 return
             rid, alns = item
+            t0 = _time.perf_counter()
             feats = extract_read_features(rid, reads, alns, window_size)
-            out_q.put([tensorize(wf) for wf in feats])
+            wts = [tensorize(wf) for wf in feats]
+            if timers is not None:
+                dt = _time.perf_counter() - t0
+                with t_lock:
+                    timers.featgen_s += dt
+            out_q.put(wts)
 
     workers = [threading.Thread(target=worker, daemon=True) for _ in range(n_threads)]
     for w in workers:
