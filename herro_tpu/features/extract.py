@@ -48,25 +48,43 @@ class WindowFeatures:
     qids: list[int]  # query read ids, ranked
 
 
-def _query_window_bytes(
-    reads: ReadSet, aln: Alignment, ow: OverlapWindow, rid: int
-) -> tuple[np.ndarray, np.ndarray, bool]:
-    """Oriented query bases + quals of one overlap window
-    (reference: src/features.rs:97-153)."""
-    if aln.tid == rid:
-        qid, q0, q1 = aln.qid, aln.qstart, aln.qend
-    else:
-        qid, q0, q1 = aln.tid, aln.tstart, aln.tend
-    rev = aln.strand == STRAND_REV
-    if rev:
-        start, end = q1 - ow.qend, q1 - ow.qstart
-        seq = reads.seq(qid, start, end, rc=True)
-        qual = np.ascontiguousarray(reads.qual(qid, start, end)[::-1])
-    else:
-        start, end = q0 + ow.qstart, q0 + ow.qend
-        seq = reads.seq(qid, start, end)
-        qual = reads.qual(qid, start, end)
-    return seq, qual, rev
+class _QueryArena:
+    """Per-alignment oriented query decode, done once.
+
+    A query read participates in every window its overlap spans; decoding the
+    full oriented span (RC'd + qual-reversed for reverse strands) once makes
+    each window's slice a free contiguous view. Mirrors the oriented-slice
+    semantics of the reference (src/features.rs:97-153)."""
+
+    def __init__(self, reads: ReadSet, alignments: list, rid: int):
+        self._reads = reads
+        self._alns = alignments
+        self._rid = rid
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, bool]] = {}
+
+    def full(self, aln_idx: int) -> tuple[np.ndarray, np.ndarray, bool]:
+        hit = self._cache.get(aln_idx)
+        if hit is not None:
+            return hit
+        aln = self._alns[aln_idx]
+        if aln.tid == self._rid:
+            qid, q0, q1 = aln.qid, aln.qstart, aln.qend
+        else:
+            qid, q0, q1 = aln.tid, aln.tstart, aln.tend
+        rev = aln.strand == STRAND_REV
+        if rev:
+            seq = self._reads.seq(qid, q0, q1, rc=True)
+            qual = np.ascontiguousarray(self._reads.qual(qid, q0, q1)[::-1])
+        else:
+            seq = self._reads.seq(qid, q0, q1)
+            qual = self._reads.qual(qid, q0, q1)
+        out = (seq, qual, rev)
+        self._cache[aln_idx] = out
+        return out
+
+    def window(self, ow: OverlapWindow) -> tuple[np.ndarray, np.ndarray, bool]:
+        seq, qual, rev = self.full(ow.aln_idx)
+        return seq[ow.qstart : ow.qend], qual[ow.qstart : ow.qend], rev
 
 
 def extract_read_features(
@@ -95,6 +113,7 @@ def extract_read_features(
             windows, aln_idx, aln.cigar, t0, t1, tl, q0, q1, window_size
         )
 
+    arena = _QueryArena(reads, alignments, rid)
     staged = []
     for wid in range(n_windows):
         win_start = wid * window_size
@@ -111,12 +130,8 @@ def extract_read_features(
             )
         ]
 
-        # Decode each overlap's oriented query slice once; reuse for the
-        # accuracy sort and the pileup fill.
-        qdata = [
-            _query_window_bytes(reads, alignments[ow.aln_idx], ow, rid)
-            for ow in ows
-        ]
+        # Window slices are views into the per-alignment oriented decode.
+        qdata = [arena.window(ow) for ow in ows]
 
         # One pointer-array batch per window drives the native kernels
         # (accuracy, max_ins, row fill) with one ctypes call each.
