@@ -141,6 +141,21 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     pt.add_argument("output", help="checkpoint output directory")
 
+    pd = sub.add_parser(
+        "distill",
+        help="train a student model on teacher-labelled `features` dumps",
+    )
+    pd.add_argument("features_dir", help="output tree of the features subcommand")
+    pd.add_argument("output", help="student checkpoint output directory")
+    pd.add_argument("--teacher", required=True, help="teacher ckpt dir or config")
+    pd.add_argument("--student", default="tiny", help="student config or ckpt dir")
+    pd.add_argument("--steps", type=int, default=500)
+    pd.add_argument("--batch-size", type=int, default=16)
+    pd.add_argument("--lr", type=float, default=3e-4)
+    pd.add_argument("--max-len", type=int, default=5120)
+    pd.add_argument("--max-sup", type=int, default=640)
+    pd.add_argument("--seed", type=int, default=0)
+
     pe = sub.add_parser(
         "eval", help="score correction quality on held-out simulated data"
     )
@@ -372,6 +387,28 @@ def cmd_train(args) -> None:
     print(f"Saved checkpoint to {args.output}", file=sys.stderr)
 
 
+def cmd_distill(args) -> None:
+    from .training.distill import distill_from_dump
+
+    res = distill_from_dump(
+        args.features_dir,
+        args.teacher,
+        args.student,
+        args.output,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        max_len=args.max_len,
+        max_sup=args.max_sup,
+        seed=args.seed,
+    )
+    print(
+        f"Distilled {res['n_windows']} windows -> {args.output} "
+        f"(final {res['final']})",
+        file=sys.stderr,
+    )
+
+
 def cmd_eval(args) -> None:
     import json
 
@@ -410,6 +447,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_features(args)
     elif args.command == "train":
         cmd_train(args)
+    elif args.command == "distill":
+        cmd_distill(args)
     elif args.command == "eval":
         cmd_eval(args)
     else:
