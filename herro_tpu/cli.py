@@ -168,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--indel-rate", type=float, default=0.04)
     pe.add_argument("--het-rate", type=float, default=0.005)
     pe.add_argument("--seed", type=int, default=12345)
+    pe.add_argument(
+        "--counting-only",
+        action="store_true",
+        help="diagnostic: decode with the counting rule only (model disabled "
+        "at supported columns)",
+    )
     return ap
 
 
@@ -185,11 +191,10 @@ def _build_mesh(n_dev, tp: int):
     if isinstance(n_dev, list):
         if tp > 1:
             raise SystemExit("--tp with an explicit device list is unsupported")
-        if len(n_dev) > 1:
-            from .parallel.mesh import make_mesh
+        from .parallel.mesh import make_mesh
 
-            return make_mesh(n_dev)
-        return None
+        # even a single-entry list pins the run to that specific chip
+        return make_mesh(n_dev)
     if tp > 1:
         from .parallel.tensor import make_mesh_2d
 
@@ -428,6 +433,7 @@ def cmd_eval(args) -> None:
         het_rate=args.het_rate,
         seed=args.seed,
         batch_size=args.batch_size,
+        counting_only=args.counting_only,
     )
     print(json.dumps(res.as_dict(), indent=1))
 

@@ -82,7 +82,10 @@ def window_max_ins(
             continue
         base = ow.tstart - win_start
         pos = base + t_starts[ins]  # anchor position of each insertion
-        np.maximum.at(max_ins, pos - 1, lens[ins])
+        # pos == 0 has no preceding column to reserve into (native kernel
+        # guards tpos > 0 identically); without the mask -1 wraps around.
+        keep = pos > 0
+        np.maximum.at(max_ins, pos[keep] - 1, lens[ins][keep])
     return max_ins
 
 

@@ -217,7 +217,10 @@ def parse_cigar_arrays(cigar: bytes) -> tuple[np.ndarray, np.ndarray, bool] | No
     )
     if cnt < 0:
         return None
-    return codes[:cnt], lens[:cnt], bool(flags[0] & 1)
+    # copy: slices of the ~2x over-allocated parse buffers would pin the
+    # whole allocation for the lifetime of the Cigar (hundreds of MB across
+    # a 50k-read alignment batch)
+    return codes[:cnt].copy(), lens[:cnt].copy(), bool(flags[0] & 1)
 
 
 class WindowBatch:

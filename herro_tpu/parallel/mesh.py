@@ -14,7 +14,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+def make_mesh(
+    n_devices: int | list[int] | tuple[int, ...] | None = None,
+    axis: str = "data",
+) -> Mesh:
     """Mesh over process-local devices.
 
     Multi-host runs keep one independent replica pipeline per process (the

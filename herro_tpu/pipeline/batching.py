@@ -53,15 +53,26 @@ class WindowTensors:
         return self.support_flat.shape[0]
 
 
+def encode_window(
+    bases: np.ndarray, supported: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(vocab tokens, flat supported column indices) of a pileup byte matrix
+    (reference: src/inference.rs:214-268). The single definition of the
+    bit-compatibility-critical encoding — used by the inference batcher and
+    the distillation dump loader alike."""
+    tokens = BASES_MAP[bases]
+    anchors = np.nonzero(bases[:, 0] != GAP_FWD)[0]
+    support_flat = (
+        anchors[supported["pos"].astype(np.int64)]
+        + supported["ins"].astype(np.int64)
+    ).astype(np.int32)
+    return tokens, support_flat
+
+
 def tensorize(wf: WindowFeatures) -> WindowTensors:
     """Encode pileup bytes to vocab ids and flatten supported (pos, ins) to
     column indices (reference: src/inference.rs:214-268)."""
-    tokens = BASES_MAP[wf.bases]
-    anchors = np.nonzero(wf.bases[:, 0] != GAP_FWD)[0]
-    support_flat = (
-        anchors[wf.supported["pos"].astype(np.int64)]
-        + wf.supported["ins"].astype(np.int64)
-    ).astype(np.int32)
+    tokens, support_flat = encode_window(wf.bases, wf.supported)
     return WindowTensors(
         rid=wf.rid,
         wid=wf.wid,

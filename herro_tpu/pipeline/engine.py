@@ -281,13 +281,18 @@ def _parallel_featgen(
                 out_q.put(None)
                 return
             rid, alns = item
-            t0 = _time.perf_counter()
-            feats = extract_read_features(rid, reads, alns, window_size)
-            wts = [tensorize(wf) for wf in feats]
-            if timers is not None:
-                dt = _time.perf_counter() - t0
-                with t_lock:
-                    timers.featgen_s += dt
+            try:
+                t0 = _time.perf_counter()
+                feats = extract_read_features(rid, reads, alns, window_size)
+                wts = [tensorize(wf) for wf in feats]
+                if timers is not None:
+                    dt = _time.perf_counter() - t0
+                    with t_lock:
+                        timers.featgen_s += dt
+            except BaseException as exc:  # propagate to the consumer
+                out_q.put(("error", rid, exc))
+                out_q.put(None)
+                return
             out_q.put(wts)
 
     workers = [threading.Thread(target=worker, daemon=True) for _ in range(n_threads)]
@@ -308,5 +313,8 @@ def _parallel_featgen(
         if item is None:
             done += 1
             continue
+        if isinstance(item, tuple) and len(item) == 3 and item[0] == "error":
+            _, rid, exc = item
+            raise RuntimeError(f"feature worker failed on read {rid}") from exc
         for wt in item:
             handle_window(wt)

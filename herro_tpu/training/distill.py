@@ -15,8 +15,7 @@ import os
 
 import numpy as np
 
-from ..constants import BASES_MAP, GAP_FWD
-from ..pipeline.batching import BucketSpec
+from ..pipeline.batching import BucketSpec, encode_window
 from .data import LabelledWindow
 
 
@@ -40,12 +39,7 @@ def windows_from_dump(dump_dir: str) -> list[tuple[np.ndarray, np.ndarray, np.nd
 
 
 def _tensorize_dump(bases: np.ndarray, quals: np.ndarray, supported: np.ndarray):
-    tokens = BASES_MAP[bases]
-    anchors = np.nonzero(bases[:, 0] != GAP_FWD)[0]
-    support_flat = (
-        anchors[supported["pos"].astype(np.int64)]
-        + supported["ins"].astype(np.int64)
-    ).astype(np.int32)
+    tokens, support_flat = encode_window(bases, supported)
     return tokens, quals, support_flat
 
 

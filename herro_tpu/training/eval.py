@@ -41,7 +41,9 @@ class EvalResult:
         return self.__dict__.copy()
 
 
-def _score(ds: SimDataset, reads, fasta_path: str) -> tuple[float, float]:
+def _score(
+    ds: SimDataset, reads, fasta_path: str
+) -> tuple[float, float, float]:
     by_name: dict[bytes, list[bytes]] = {}
     name = None
     with open(fasta_path, "rb") as fh:

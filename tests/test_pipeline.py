@@ -93,3 +93,17 @@ def test_threaded_featgen_matches_serial(tmp_path):
         return recs
 
     assert records(outs[0]) == records(outs[1])
+
+
+def test_parallel_featgen_propagates_worker_errors():
+    """A failing feature worker must surface its exception, not hang."""
+    from herro_tpu.pipeline.engine import _parallel_featgen
+
+    class BoomReads:
+        def length(self, rid):
+            raise ValueError("boom")
+
+    with pytest.raises(RuntimeError, match="feature worker failed"):
+        _parallel_featgen(
+            BoomReads(), [(0, [])], 256, 2, lambda wt: None
+        )
