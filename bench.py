@@ -21,7 +21,7 @@ import numpy as np
 V100_DEMO_WINDOWS_PER_S = 33.0
 
 
-def main(batch_size: int = 32, L: int = 4608, S: int = 128, iters: int = 20) -> None:
+def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
     import jax
 
     from herro_tpu.models.model import R10_CONFIG, init_params
