@@ -40,6 +40,22 @@ class Cigar:
     def __len__(self) -> int:
         return self.codes.shape[0]
 
+    def long_indel_prefix(self, max_len: int) -> np.ndarray:
+        """``prefix[i]`` = #I/D ops longer than ``max_len`` among ops [0, i).
+
+        One cumulative pass per alignment turns the per-window long-indel
+        filter (raw op lengths, src/features.rs:315-324) into an O(1)
+        subtraction: a slice [s, e) is clean iff prefix[e] == prefix[s].
+        """
+        cached = getattr(self, "_li_prefix", None)
+        if cached is None or cached[0] != max_len:
+            bad = (self.codes != M) & (self.lens.astype(np.int64) > max_len)
+            prefix = np.zeros(self.codes.shape[0] + 1, dtype=np.int32)
+            np.cumsum(bad, out=prefix[1:])
+            cached = (max_len, prefix)
+            self._li_prefix = cached
+        return cached[1]
+
 
 def _build(codes: np.ndarray, lens: np.ndarray) -> Cigar:
     n = codes.shape[0]

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..cigar.ops import window_accuracy, window_has_long_indel
+from ..cigar.ops import window_accuracy
 from ..cigar.windowing import OverlapWindow, extract_windows
 from ..constants import GAP_FWD, GAP_REV, MAX_INDEL_LEN, NO_ALN, TOP_K
 from ..io.fastx import ReadSet
@@ -121,13 +121,15 @@ def extract_read_features(
             read_len - win_start if wid == n_windows - 1 else window_size
         )
 
-        # Long-indel filter (src/features.rs:376-383).
+        # Long-indel filter (src/features.rs:376-383); O(1) per window via
+        # per-alignment prefix counts of >MAX_INDEL_LEN indel ops.
         ows = [
             ow
             for ow in windows[wid]
-            if not window_has_long_indel(
-                cigars[ow.aln_idx], ow.op_start, ow.op_end, MAX_INDEL_LEN
-            )
+            if (pre := cigars[ow.aln_idx].long_indel_prefix(MAX_INDEL_LEN))[
+                ow.op_end
+            ]
+            == pre[ow.op_start]
         ]
 
         # Window slices are views into the per-alignment oriented decode.

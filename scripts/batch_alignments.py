@@ -51,6 +51,8 @@ def main() -> None:
     src = sys.stdin.buffer if args.alignments == "-" else open(args.alignments, "rb")
     n = 0
     for line in src:
+        if not line.rstrip():
+            continue
         tname = line.split(b"\t", 6)[5]
         idx = rid_to_batch.get(tname)
         if idx is not None:

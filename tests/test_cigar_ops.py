@@ -175,3 +175,20 @@ def test_parse_native_numpy_parity(monkeypatch):
         with pytest.raises(ValueError):
             cops.parse_cigar(bad)
         monkeypatch.undo()
+
+
+def test_long_indel_prefix_matches_direct_filter():
+    from herro_tpu.cigar.ops import window_has_long_indel
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(1, 40))
+        ops = "".join(
+            f"{int(rng.integers(1, 120))}{rng.choice(list('MID'))}" for _ in range(n)
+        )
+        cig = parse_cigar(ops.encode())
+        pre = cig.long_indel_prefix(60)
+        for _ in range(10):
+            s = int(rng.integers(0, len(cig)))
+            e = int(rng.integers(s + 1, len(cig) + 1))
+            assert (pre[e] > pre[s]) == window_has_long_indel(cig, s, e, 60)
