@@ -213,7 +213,8 @@ def fill_window_pileup(
         from .. import native
 
         native.fill_rows(
-            bases, quals, wb, strands_rev, qseqs, qquals, anchor, max_ins
+            bases, quals, wb, strands_rev, qseqs, qquals, anchor, max_ins,
+            NO_ALN_QUAL,
         )
         return bases, quals
 

@@ -75,7 +75,7 @@ def _load():
     lib.ht_max_ins_batch.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr]
     lib.ht_fill_rows.argtypes = [
         ptr, ptr, i64, i64, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr,
-        ptr, ptr, i64,
+        ptr, ptr, i64, i64,
     ]
     lib.ht_window_accuracies.argtypes = [
         ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr,
@@ -294,6 +294,7 @@ def fill_rows(
     qquals: list,
     anchor: np.ndarray,
     max_ins: np.ndarray,
+    no_aln_qual: int,
 ) -> None:
     """Fill pileup rows 1..n of the (L, C) matrices in one native call."""
     length, n_cols = bases.shape
@@ -307,7 +308,7 @@ def fill_rows(
         wb.op_e.ctypes.data, wb.off_e.ctypes.data,
         wb.t_base.ctypes.data, sr.ctypes.data,
         qp.ctypes.data, qq.ctypes.data,
-        anchor.ctypes.data, max_ins.ctypes.data, wb.n,
+        anchor.ctypes.data, max_ins.ctypes.data, wb.n, no_aln_qual,
     )
 
 

@@ -9,6 +9,7 @@
 // Build: make -C herro_tpu/native   (g++ -O3 -march=native -shared -fPIC)
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 
@@ -353,6 +354,64 @@ void ht_max_ins_batch(const uint64_t* codes_p, const uint64_t* lens_p,
                off_s[i], op_e[i], off_e[i], t_base[i], max_ins);
 }
 
+// Contiguous (stride-1) variant of ht_fill_query_row: rows are built in a
+// flat scratch plane so the CIGAR walk writes sequential bytes, then a
+// cache-blocked transpose scatters them into the (L, C) pileup. The strided
+// per-byte stores of the direct path were the fill bottleneck at heavy
+// coverage.
+static void fill_query_row_flat(uint8_t* rb, uint8_t* rq, int64_t length,
+                                const uint8_t* codes, const int32_t* lens,
+                                int64_t op_s, int64_t off_s, int64_t op_e,
+                                int64_t off_e, int64_t t_base, int strand_rev,
+                                const uint8_t* qseq, const uint8_t* qqual,
+                                const int64_t* anchor,
+                                const int32_t* max_ins) {
+  uint8_t gap = strand_rev ? '#' : '*';
+  int64_t idx0 = anchor[t_base];
+  memset(rb, '.', (size_t)idx0);
+  memset(rb + idx0, gap, (size_t)(length - idx0));
+
+  static uint8_t lower[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) lower[i] = (uint8_t)i;
+    lower['A'] = 'a'; lower['C'] = 'c'; lower['G'] = 'g'; lower['T'] = 't';
+    init = true;
+  }
+
+  int64_t tpos = t_base;
+  int64_t idx = idx0;
+  int64_t qp = 0;
+  int64_t n = op_e - op_s;
+  for (int64_t j = 0; j < n; ++j) {
+    uint8_t op = codes[op_s + j];
+    int64_t l = eff_len(lens, op_s, off_s, op_e, off_e, j);
+    if (op == OP_M) {
+      for (int64_t i = 0; i < l; ++i) {
+        uint8_t b = qseq[qp];
+        rb[idx] = strand_rev ? lower[b] : b;
+        rq[idx] = qqual[qp];
+        ++qp;
+        idx += 1 + max_ins[tpos + i];
+      }
+      tpos += l;
+    } else if (op == OP_D) {
+      for (int64_t i = 0; i < l; ++i) idx += 1 + max_ins[tpos + i];
+      tpos += l;
+    } else {  // OP_I — raw length, written into reserved columns
+      int64_t li = lens[op_s + j];
+      int64_t at = idx - max_ins[tpos - 1];
+      for (int64_t i = 0; i < li; ++i) {
+        uint8_t b = qseq[qp];
+        rb[at + i] = strand_rev ? lower[b] : b;
+        rq[at + i] = qqual[qp];
+        ++qp;
+      }
+    }
+  }
+  memset(rb + idx, '.', (size_t)(length - idx));
+}
+
 void ht_fill_rows(uint8_t* bases, uint8_t* quals, int64_t n_cols,
                   int64_t length, const uint64_t* codes_p,
                   const uint64_t* lens_p, const int64_t* op_s,
@@ -360,13 +419,44 @@ void ht_fill_rows(uint8_t* bases, uint8_t* quals, int64_t n_cols,
                   const int64_t* off_e, const int64_t* t_base,
                   const uint8_t* strand_rev, const uint64_t* qseq_p,
                   const uint64_t* qqual_p, const int64_t* anchor,
-                  const int32_t* max_ins, int64_t n) {
+                  const int32_t* max_ins, int64_t n, int64_t no_aln_qual) {
+  uint8_t* sb = (uint8_t*)malloc((size_t)(2 * n * length));
+  if (sb == nullptr) {  // fall back to the direct strided fill
+    for (int64_t i = 0; i < n; ++i)
+      ht_fill_query_row(bases + (i + 1), quals + (i + 1), n_cols, length,
+                        (const uint8_t*)codes_p[i], (const int32_t*)lens_p[i],
+                        op_s[i], off_s[i], op_e[i], off_e[i], t_base[i],
+                        (int)strand_rev[i], (const uint8_t*)qseq_p[i],
+                        (const uint8_t*)qqual_p[i], anchor, max_ins);
+    return;
+  }
+  uint8_t* sq = sb + n * length;
+  // Quals default to the caller's init value at positions the walk never
+  // touches (gaps/flanks), matching the direct path which leaves them alone.
+  memset(sq, (int)no_aln_qual, (size_t)(n * length));
   for (int64_t i = 0; i < n; ++i)
-    ht_fill_query_row(bases + (i + 1), quals + (i + 1), n_cols, length,
-                      (const uint8_t*)codes_p[i], (const int32_t*)lens_p[i],
-                      op_s[i], off_s[i], op_e[i], off_e[i], t_base[i],
-                      (int)strand_rev[i], (const uint8_t*)qseq_p[i],
-                      (const uint8_t*)qqual_p[i], anchor, max_ins);
+    fill_query_row_flat(sb + i * length, sq + i * length, length,
+                        (const uint8_t*)codes_p[i], (const int32_t*)lens_p[i],
+                        op_s[i], off_s[i], op_e[i], off_e[i], t_base[i],
+                        (int)strand_rev[i], (const uint8_t*)qseq_p[i],
+                        (const uint8_t*)qqual_p[i], anchor, max_ins);
+
+  const int64_t BS = 64;
+  for (int64_t l0 = 0; l0 < length; l0 += BS) {
+    int64_t l1 = std::min(l0 + BS, length);
+    for (int64_t i0 = 0; i0 < n; i0 += BS) {
+      int64_t i1 = std::min(i0 + BS, n);
+      for (int64_t l = l0; l < l1; ++l) {
+        uint8_t* db = bases + l * n_cols + 1;
+        uint8_t* dq = quals + l * n_cols + 1;
+        for (int64_t i = i0; i < i1; ++i) {
+          db[i] = sb[i * length + l];
+          dq[i] = sq[i * length + l];
+        }
+      }
+    }
+  }
+  free(sb);
 }
 
 void ht_window_accuracies(const uint64_t* codes_p, const uint64_t* lens_p,
