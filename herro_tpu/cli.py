@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
         "sharding; combine per-shard outputs afterwards)",
     )
     pi.add_argument(
+        "--pipeline-depth",
+        type=int,
+        default=3,
+        help="device batches kept in flight (async dispatch depth)",
+    )
+    pi.add_argument(
         "--profile-dir",
         default="",
         help="write a jax.profiler trace of the run to this directory",
@@ -305,6 +311,7 @@ def cmd_inference(args) -> None:
         on_read_done=lambda rid: progress.inc(),
         resume=args.resume,
         timers=timers,
+        pipeline_depth=args.pipeline_depth,
     )
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -164,13 +164,19 @@ def fill_query_row(
     is_i = codes == I
     if is_i.any():
         # Insertion bases occupy the reserved columns right after anchor t-1.
+        # A window-leading insertion (t == 0) has no preceding column and
+        # window_max_ins reserved nothing for it — skip it (the native fill
+        # guards tpos > 0 identically); without the mask -1 wraps around.
         ti = t_starts[is_i]
         qi = q_starts[is_i]
         li = lens[is_i]
-        qpos, off = _expand_runs(qi, li)
-        flat = np.repeat(anchor[ti - 1] + 1, li) + off
-        bases_row[flat] = qseq[qpos]
-        quals_row[flat] = qqual[qpos]
+        keep = ti > 0
+        ti, qi, li = ti[keep], qi[keep], li[keep]
+        if li.size:
+            qpos, off = _expand_runs(qi, li)
+            flat = np.repeat(anchor[ti - 1] + 1, li) + off
+            bases_row[flat] = qseq[qpos]
+            quals_row[flat] = qqual[qpos]
 
     t_end = t_base + int(np.sum(np.where(codes != I, lens, 0)))
     idx_end = int(anchor[t_end])

@@ -2,9 +2,8 @@
 
 A checkpoint is a directory holding ``config.json`` (the ModelConfig) and
 ``params.msgpack`` (flax-serialised parameters) — the framework's analogue of
-the reference's TorchScript ``model.pt`` blob (README.md:60-73). Training
-additionally writes orbax step checkpoints; this format is the distribution
-artifact.
+the reference's TorchScript ``model.pt`` blob (README.md:60-73). The trainer
+writes the same format mid-run (plus a ``step.txt`` marker) for restarts.
 """
 
 from __future__ import annotations

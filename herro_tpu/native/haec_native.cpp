@@ -8,6 +8,7 @@
 //
 // Build: make -C herro_tpu/native   (g++ -O3 -march=native -shared -fPIC)
 
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -20,6 +21,46 @@ constexpr uint8_t OP_I = 1;
 constexpr uint8_t OP_D = 2;
 
 constexpr uint8_t BASE_OF_CODE[4] = {'A', 'C', 'G', 'T'};
+
+// Lazily-built lookup tables use C++11 magic statics (thread-safe init):
+// featgen calls these kernels from multiple Python threads with the GIL
+// released, so a hand-rolled `if (!init)` first-call race would be UB.
+const std::array<uint8_t, 256>& lower_table() {
+  static const std::array<uint8_t, 256> t = [] {
+    std::array<uint8_t, 256> x{};
+    for (int i = 0; i < 256; ++i) x[i] = (uint8_t)i;
+    x['A'] = 'a'; x['C'] = 'c'; x['G'] = 'g'; x['T'] = 't';
+    return x;
+  }();
+  return t;
+}
+
+const std::array<uint64_t, 256>& encode_table() {
+  static const std::array<uint64_t, 256> t = [] {
+    std::array<uint64_t, 256> x{};
+    x['A'] = 0; x['C'] = 1; x['G'] = 2; x['T'] = 3;
+    x['a'] = 0; x['c'] = 1; x['g'] = 2; x['t'] = 3;
+    return x;
+  }();
+  return t;
+}
+
+const std::array<uint8_t, 256>& class_table() {
+  static const std::array<uint8_t, 256> t = [] {
+    // Class 5 is a dummy slot for every non-base byte ('.', pad, …) so the
+    // counting inner loop increments unconditionally — branchless.
+    std::array<uint8_t, 256> x{};
+    for (int i = 0; i < 256; ++i) x[i] = 5;
+    const char* fwd = "ACGT*";
+    const char* rev = "acgt#";
+    for (int k = 0; k < 5; ++k) {
+      x[(uint8_t)fwd[k]] = (uint8_t)k;
+      x[(uint8_t)rev[k]] = (uint8_t)k;
+    }
+    return x;
+  }();
+  return t;
+}
 
 // Effective op length of op j within a window slice [op_s, op_e) with
 // start/end offsets (reference: src/features.rs:181-188).
@@ -61,14 +102,7 @@ void ht_decode_2bit(const uint64_t* words, int64_t start, int64_t end, int rc,
 }
 
 void ht_encode_2bit(const uint8_t* seq, int64_t n, uint64_t* words) {
-  static uint64_t table[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; ++i) table[i] = 0;
-    table['A'] = 0; table['C'] = 1; table['G'] = 2; table['T'] = 3;
-    table['a'] = 0; table['c'] = 1; table['g'] = 2; table['t'] = 3;
-    init = true;
-  }
+  const auto& table = encode_table();
   int64_t n_words = (n + 31) / 32;
   for (int64_t w = 0; w < n_words; ++w) words[w] = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -224,13 +258,7 @@ void ht_fill_query_row(uint8_t* bases, uint8_t* quals, int64_t stride,
   int64_t idx0 = anchor[t_base];
   for (int64_t k = 0; k < idx0; ++k) bases[k * stride] = '.';
 
-  static uint8_t lower[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; ++i) lower[i] = (uint8_t)i;
-    lower['A'] = 'a'; lower['C'] = 'c'; lower['G'] = 'g'; lower['T'] = 't';
-    init = true;
-  }
+  const auto& lower = lower_table();
 
   int64_t tpos = t_base;
   int64_t idx = idx0;
@@ -253,12 +281,19 @@ void ht_fill_query_row(uint8_t* bases, uint8_t* quals, int64_t stride,
       tpos += l;
     } else {  // OP_I — raw length, written into reserved columns
       int64_t li = lens[op_s + j];
-      int64_t at = idx - max_ins[tpos - 1];
-      for (int64_t i = 0; i < li; ++i) {
-        uint8_t b = qseq[qp];
-        bases[(at + i) * stride] = strand_rev ? lower[b] : b;
-        quals[(at + i) * stride] = qqual[qp];
-        ++qp;
+      if (tpos > 0) {
+        int64_t at = idx - max_ins[tpos - 1];
+        for (int64_t i = 0; i < li; ++i) {
+          uint8_t b = qseq[qp];
+          bases[(at + i) * stride] = strand_rev ? lower[b] : b;
+          quals[(at + i) * stride] = qqual[qp];
+          ++qp;
+        }
+      } else {
+        // Window-leading insertion: ht_max_ins reserved no columns for it
+        // (its tpos > 0 guard), so there is nowhere to write — consume the
+        // query bases and move on.
+        qp += li;
       }
     }
   }
@@ -371,13 +406,7 @@ static void fill_query_row_flat(uint8_t* rb, uint8_t* rq, int64_t length,
   memset(rb, '.', (size_t)idx0);
   memset(rb + idx0, gap, (size_t)(length - idx0));
 
-  static uint8_t lower[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; ++i) lower[i] = (uint8_t)i;
-    lower['A'] = 'a'; lower['C'] = 'c'; lower['G'] = 'g'; lower['T'] = 't';
-    init = true;
-  }
+  const auto& lower = lower_table();
 
   int64_t tpos = t_base;
   int64_t idx = idx0;
@@ -400,12 +429,16 @@ static void fill_query_row_flat(uint8_t* rb, uint8_t* rq, int64_t length,
       tpos += l;
     } else {  // OP_I — raw length, written into reserved columns
       int64_t li = lens[op_s + j];
-      int64_t at = idx - max_ins[tpos - 1];
-      for (int64_t i = 0; i < li; ++i) {
-        uint8_t b = qseq[qp];
-        rb[at + i] = strand_rev ? lower[b] : b;
-        rq[at + i] = qqual[qp];
-        ++qp;
+      if (tpos > 0) {
+        int64_t at = idx - max_ins[tpos - 1];
+        for (int64_t i = 0; i < li; ++i) {
+          uint8_t b = qseq[qp];
+          rb[at + i] = strand_rev ? lower[b] : b;
+          rq[at + i] = qqual[qp];
+          ++qp;
+        }
+      } else {
+        qp += li;  // window-leading insertion: no reserved columns (see above)
       }
     }
   }
@@ -481,20 +514,7 @@ void ht_window_accuracies(const uint64_t* codes_p, const uint64_t* lens_p,
 
 void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
                        int64_t thresh, uint8_t* mask) {
-  // Class 5 is a dummy slot for every non-base byte ('.', pad, …) so the
-  // inner loop increments unconditionally — branchless is ~2x faster here.
-  static uint8_t cls[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; ++i) cls[i] = 5;
-    const char* fwd = "ACGT*";
-    const char* rev = "acgt#";
-    for (int k = 0; k < 5; ++k) {
-      cls[(uint8_t)fwd[k]] = (uint8_t)k;
-      cls[(uint8_t)rev[k]] = (uint8_t)k;
-    }
-    init = true;
-  }
+  const auto& cls = class_table();
   for (int64_t l = 0; l < L; ++l) {
     const uint8_t* row = bases + l * C;
     int32_t counts[6] = {0, 0, 0, 0, 0, 0};

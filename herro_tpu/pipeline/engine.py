@@ -16,7 +16,11 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 
-from ..constants import ALN_CHANNEL_CAPACITY, READS_BATCH_SIZE
+from ..constants import (
+    ALN_CHANNEL_CAPACITY,
+    INFER_CHANNEL_CAP_FACTOR,
+    READS_BATCH_SIZE,
+)
 from ..features.extract import extract_read_features
 from ..io.fasta import write_corrected
 from ..io.fastx import ReadSet
@@ -162,8 +166,14 @@ def run_correction(
     on_read_done: Callable[[int], None] | None = None,
     resume: bool = False,
     timers: StageTimers | None = None,
+    pipeline_depth: int = 3,
 ) -> int:
-    """Correct every read of ``aln_source``; returns #reads written."""
+    """Correct every read of ``aln_source``; returns #reads written.
+
+    ``pipeline_depth`` is the number of device batches kept in flight:
+    dispatch is async, so up to that many batches overlap with host featgen
+    and with each other on the device queue.
+    """
     import time as _time
 
     import collections
@@ -173,9 +183,7 @@ def run_correction(
     n_written = 0
     write_lock = threading.Lock()
     timers = timers if timers is not None else StageTimers()
-    # Device batches in flight: dispatch is async, so up to ``depth`` batches
-    # overlap with host featgen and with each other on the device queue.
-    depth = 3
+    depth = max(1, pipeline_depth)
     pending: collections.deque = collections.deque()
 
     skip: set[int] = set()
@@ -233,25 +241,30 @@ def run_correction(
     source = (
         (rid, alns) for rid, alns in aln_source if rid not in skip
     )
-    if feat_threads <= 1:
-        for rid, alns in source:
-            t0 = _time.perf_counter()
-            feats = extract_read_features(rid, reads, alns, window_size)
-            wts = [tensorize(wf) for wf in feats]
-            timers.featgen_s += _time.perf_counter() - t0
-            for wt in wts:
-                handle_window(wt)
-    else:
-        _parallel_featgen(
-            reads, source, window_size, feat_threads, handle_window, timers
-        )
+    try:
+        if feat_threads <= 1:
+            for rid, alns in source:
+                t0 = _time.perf_counter()
+                feats = extract_read_features(rid, reads, alns, window_size)
+                wts = [tensorize(wf) for wf in feats]
+                timers.featgen_s += _time.perf_counter() - t0
+                for wt in wts:
+                    handle_window(wt)
+        else:
+            _parallel_featgen(
+                reads, source, window_size, feat_threads, handle_window, timers
+            )
 
-    for batch in batcher.flush():
-        submit(batch)
-    while pending:
-        drain_one()
-
-    out.close()
+        for batch in batcher.flush():
+            submit(batch)
+        while pending:
+            drain_one()
+    finally:
+        # On a worker/device failure the completed reads are already on disk;
+        # closing flushes them so the run is resumable. In-flight device
+        # batches are abandoned (their reads re-run on resume).
+        pending.clear()
+        out.close()
     return n_written
 
 
@@ -271,7 +284,11 @@ def _parallel_featgen(
     import time as _time
 
     in_q: queue.Queue = queue.Queue(maxsize=ALN_CHANNEL_CAPACITY)
-    out_q: queue.Queue = queue.Queue(maxsize=4 * n_threads)
+    # Bounded fan-in, capacity proportional to the worker count — the
+    # reference's infer-channel backpressure (src/lib.rs:42,155).
+    out_q: queue.Queue = queue.Queue(
+        maxsize=max(2 * INFER_CHANNEL_CAP_FACTOR * n_threads, 4)
+    )
     t_lock = threading.Lock()
 
     def worker():

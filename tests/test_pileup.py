@@ -196,3 +196,44 @@ def test_property_fill_vs_oracle(seed):
 
         sup = get_supported(bases)
         assert [(int(p), int(i)) for p, i in sup] == oracle_supported(bases)
+
+
+def test_pileup_window_leading_insertion():
+    """A window slice that *starts* with an insertion op (tpos == 0) has no
+    preceding column to reserve into: window_max_ins skips it, and every fill
+    path (numpy / native strided / native batched) must consume the query
+    bases without writing anywhere (regression: max_ins[-1] wraparound)."""
+    from herro_tpu import native
+
+    cig = parse_cigar(b"2I6M")
+    ow = full_window(0, cig)
+    tseq = np.frombuffer(b"ACGTACGT", dtype=np.uint8)
+    tqual = np.frombuffer(b"IIIIIIII", dtype=np.uint8)
+    qseq = np.frombuffer(b"TTACGTAC", dtype=np.uint8)  # 2 inserted + 6 aligned
+    qqual = np.frombuffer(b"12345678", dtype=np.uint8)
+
+    mi = window_max_ins([ow], [cig], 0, 6)
+    assert mi.tolist() == [0] * 6  # leading insertion reserved nothing
+
+    results = []
+    # numpy and native strided paths
+    for use_native in ([False, True] if native.available() else [False]):
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "available", lambda: use_native):
+            bases, quals = fill_window_pileup(
+                [ow], [cig], [False], [qseq], [qqual], tseq, tqual, 0, 6, mi, 1
+            )
+        results.append((bases.tobytes(), quals.tobytes()))
+    # native batched path
+    if native.available():
+        wb = native.WindowBatch([cig.codes], [cig.lens], [ow], [0])
+        bases, quals = fill_window_pileup(
+            [ow], [cig], [False], [qseq], [qqual], tseq, tqual, 0, 6, mi, 1,
+            wb=wb,
+        )
+        results.append((bases.tobytes(), quals.tobytes()))
+
+    assert all(r == results[0] for r in results)
+    b0 = np.frombuffer(results[0][0], dtype=np.uint8).reshape(6, -1)
+    assert b0[:, 1].tobytes() == b"ACGTAC"  # inserted TT dropped, 6 M aligned
