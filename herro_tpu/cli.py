@@ -180,6 +180,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="diagnostic: decode with the counting rule only (model disabled "
         "at supported columns)",
     )
+    pe.add_argument(
+        "--mode",
+        choices=["model", "counting", "oracle"],
+        default=None,
+        help="decode mode: model (default), counting (the floor), or oracle "
+        "(truth at supported columns — the ceiling of any model)",
+    )
+    pe.add_argument(
+        "--with-baseline",
+        action="store_true",
+        help="also decode the identical features with the counting rule and "
+        "report the matched-seed model_gain_db",
+    )
     return ap
 
 
@@ -441,6 +454,8 @@ def cmd_eval(args) -> None:
         seed=args.seed,
         batch_size=args.batch_size,
         counting_only=args.counting_only,
+        mode=args.mode,
+        with_baseline=args.with_baseline,
     )
     print(json.dumps(res.as_dict(), indent=1))
 

@@ -80,6 +80,10 @@ def _load():
     lib.ht_window_accuracies.argtypes = [
         ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, i64, ptr,
     ]
+    lib.ht_fit_align.argtypes = [
+        ptr, i64, ptr, i64, i64, i64, ptr, ptr, ptr, ptr,
+    ]
+    lib.ht_fit_align.restype = i64
     return lib
 
 
@@ -341,3 +345,28 @@ def window_accuracy(
         tseq.ctypes.data,
         qseq.ctypes.data,
     )
+
+
+def fit_align(
+    a: np.ndarray, b: np.ndarray, diag0: int, band: int
+) -> "tuple[int, np.ndarray, np.ndarray, tuple[int, int], np.ndarray] | None":
+    """Banded fitting alignment of ``a`` against ``b`` with traceback.
+
+    Returns (distance, b2a[m], ins_after[m+1], (j0, j1), counts[4]) or None
+    when the optimum leaves the band (caller should widen and retry).
+    """
+    n, m = a.shape[0], b.shape[0]
+    b2a = np.empty(m, dtype=np.uint8)
+    ins_after = np.empty(m + 1, dtype=np.int32)
+    span = np.empty(2, dtype=np.int64)
+    counts = np.empty(4, dtype=np.int64)
+    dist = _lib.ht_fit_align(
+        np.ascontiguousarray(a).ctypes.data, n,
+        np.ascontiguousarray(b).ctypes.data, m,
+        diag0, band,
+        b2a.ctypes.data, ins_after.ctypes.data,
+        span.ctypes.data, counts.ctypes.data,
+    )
+    if dist < 0:
+        return None
+    return int(dist), b2a, ins_after, (int(span[0]), int(span[1])), counts

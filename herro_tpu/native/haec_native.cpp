@@ -512,6 +512,133 @@ void ht_window_accuracies(const uint64_t* codes_p, const uint64_t* lens_p,
 // occurrences among its C reads.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Banded fitting alignment with traceback (eval-side truth mapping).
+//
+// Aligns a (a corrected fragment, length n) against b (the truth sequence,
+// length m) with free end-gaps on b only, inside a diagonal band
+// [diag0 - band, diag0 + band] (diag = j - i). No reference counterpart: the
+// reference publishes quality only as downstream assembly stats; this kernel
+// powers the framework-local per-base / het-site / homopolymer eval metrics.
+//
+// Outputs:
+//   b2a[m]    : per truth position j, the a byte aligned there, 255 if the
+//               truth base was deleted in a, 254 outside the aligned span;
+//   ins_after[m+1] : #a bases inserted between b[j-1] and b[j] (index j);
+//   span[2]   : aligned truth span [j0, j1);
+//   counts[4] : matches, subs, ins, del within the span.
+// Returns the fitting edit distance, or -1 when the optimum leaves the band
+// (caller should widen and retry).
+// ---------------------------------------------------------------------------
+
+int64_t ht_fit_align(const uint8_t* a, int64_t n, const uint8_t* b, int64_t m,
+                     int64_t diag0, int64_t band, uint8_t* b2a,
+                     int32_t* ins_after, int64_t* span, int64_t* counts) {
+  const int64_t width = 2 * band + 1;
+  const int64_t BIG = ((int64_t)1) << 40;
+  int64_t* prev = (int64_t*)malloc((size_t)(2 * width) * sizeof(int64_t));
+  uint8_t* tb = (uint8_t*)malloc((size_t)((n + 1) * width));
+  if (prev == nullptr || tb == nullptr) {
+    free(prev);
+    free(tb);
+    return -1;
+  }
+  int64_t* cur = prev + width;
+
+  // row i covers j = diag0 + i + (k - band), k in [0, width)
+  for (int64_t k = 0; k < width; ++k) {
+    int64_t j = diag0 + (k - band);
+    prev[k] = (j >= 0 && j <= m) ? 0 : BIG;  // free prefix of b
+    tb[k] = 3;                               // start marker
+  }
+
+  for (int64_t i = 1; i <= n; ++i) {
+    uint8_t* trow = tb + i * width;
+    const uint8_t ai = a[i - 1];
+    for (int64_t k = 0; k < width; ++k) {
+      int64_t j = diag0 + i + (k - band);
+      if (j < 0 || j > m) {
+        cur[k] = BIG;
+        trow[k] = 3;
+        continue;
+      }
+      // diag: D[i-1][j-1] is prev[k] (same k: j-1 - (i-1) = j - i)
+      int64_t best = BIG;
+      uint8_t move = 3;
+      if (j >= 1 && prev[k] < BIG) {
+        int64_t c = prev[k] + (b[j - 1] == ai ? 0 : 1);
+        if (c < best) { best = c; move = 0; }
+      }
+      // up: D[i-1][j] is prev[k+1] (insertion in a)
+      if (k + 1 < width && prev[k + 1] < BIG) {
+        int64_t c = prev[k + 1] + 1;
+        if (c < best) { best = c; move = 1; }
+      }
+      // left: D[i][j-1] is cur[k-1] (deletion from a)
+      if (j >= 1 && k >= 1 && cur[k - 1] < BIG) {
+        int64_t c = cur[k - 1] + 1;
+        if (c < best) { best = c; move = 2; }
+      }
+      cur[k] = best;
+      trow[k] = move;
+    }
+    int64_t* t = prev;
+    prev = cur;
+    cur = t;
+  }
+
+  // free suffix of b: best cell in the last computed row (now in prev)
+  int64_t best = BIG, bestk = -1;
+  for (int64_t k = 0; k < width; ++k) {
+    int64_t j = diag0 + n + (k - band);
+    if (j < 0 || j > m) continue;
+    if (prev[k] < best) { best = prev[k]; bestk = k; }
+  }
+  if (bestk < 0 || best >= BIG) {
+    free(prev < cur ? prev : cur);
+    free(tb);
+    return -1;
+  }
+
+  for (int64_t j = 0; j <= m; ++j) ins_after[j] = 0;
+  for (int64_t j = 0; j < m; ++j) b2a[j] = 254;
+
+  int64_t i = n, k = bestk;
+  int64_t j1 = diag0 + n + (bestk - band);
+  int64_t mt = 0, sb = 0, ins = 0, del = 0;
+  while (i > 0) {
+    int64_t j = diag0 + i + (k - band);
+    uint8_t move = tb[i * width + k];
+    if (move == 0) {  // diag
+      b2a[j - 1] = a[i - 1];
+      if (a[i - 1] == b[j - 1]) ++mt; else ++sb;
+      --i;  // k unchanged
+    } else if (move == 1) {  // up: a[i-1] inserted between b[j-1] and b[j]
+      if (ins_after[j] < INT32_MAX) ++ins_after[j];
+      ++ins;
+      --i;
+      ++k;
+    } else if (move == 2) {  // left: b[j-1] deleted
+      b2a[j - 1] = 255;
+      ++del;
+      --k;
+    } else {
+      break;  // hit the band edge mid-path: shouldn't happen when ret >= 0
+    }
+  }
+  int64_t j0 = diag0 + i + (k - band);
+  span[0] = j0;
+  span[1] = j1;
+  counts[0] = mt;
+  counts[1] = sb;
+  counts[2] = ins;
+  counts[3] = del;
+
+  free(prev < cur ? prev : cur);
+  free(tb);
+  return best;
+}
+
 void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
                        int64_t thresh, uint8_t* mask) {
   const auto& cls = class_table();

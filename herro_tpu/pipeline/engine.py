@@ -167,12 +167,18 @@ def run_correction(
     resume: bool = False,
     timers: StageTimers | None = None,
     pipeline_depth: int = 3,
+    counting_output_path: str | None = None,
 ) -> int:
     """Correct every read of ``aln_source``; returns #reads written.
 
     ``pipeline_depth`` is the number of device batches kept in flight:
     dispatch is async, so up to that many batches overlap with host featgen
     and with each other on the device queue.
+
+    ``counting_output_path`` additionally writes the pure counting-rule
+    decode of the *same* features to a second FASTA (requires a runner with
+    ``collect_counting=True``) — the matched-seed baseline for quantifying
+    the model's contribution without a second featgen pass.
     """
     import time as _time
 
@@ -195,6 +201,9 @@ def run_correction(
                 flush=True,
             )
     out = open(output_path, "ab" if resume else "wb")
+    cnt_out = (
+        open(counting_output_path, "wb") if counting_output_path else None
+    )
 
     def on_read(rid: int, frags: list[bytes]) -> None:
         nonlocal n_written
@@ -205,19 +214,45 @@ def run_correction(
             on_read_done(rid)
 
     acc = ConsensusAccumulator(on_read)
+    cnt_acc = None
+    if cnt_out is not None:
+
+        def on_read_counting(rid: int, frags: list[bytes]) -> None:
+            with write_lock:
+                write_corrected(
+                    cnt_out, reads.ids[rid], reads.descriptions[rid], frags
+                )
+
+        cnt_acc = ConsensusAccumulator(on_read_counting)
+
+    def add_result(res: WindowResult) -> None:
+        if cnt_acc is not None:
+            cnt_acc.add(
+                WindowResult(
+                    rid=res.rid,
+                    wid=res.wid,
+                    n_alns=res.n_alns,
+                    n_total_wins=res.n_total_wins,
+                    decisions=(
+                        res.counting if res.counting is not None else res.decisions
+                    ),
+                )
+            )
+        acc.add(res)
 
     def handle_window(wt) -> None:
         if wt.n_supported == 0:
             # No model columns: pure counting decode, host side
             # (src/inference.rs:241-250 — such windows never reach the model).
             dec = count_decisions_np(wt.tokens, wt.n_alns)
-            acc.add(
+            add_result(
                 WindowResult(
                     rid=wt.rid,
                     wid=wt.wid,
                     n_alns=wt.n_alns,
                     n_total_wins=wt.n_total_wins,
                     decisions=dec,
+                    counting=dec,
                 )
             )
         else:
@@ -236,7 +271,7 @@ def run_correction(
         timers.device_s += _time.perf_counter() - t0
         timers.n_batches += 1
         for res in results:
-            acc.add(res)
+            add_result(res)
 
     source = (
         (rid, alns) for rid, alns in aln_source if rid not in skip
@@ -265,6 +300,8 @@ def run_correction(
         # batches are abandoned (their reads re-run on resume).
         pending.clear()
         out.close()
+        if cnt_out is not None:
+            cnt_out.close()
     return n_written
 
 

@@ -46,6 +46,10 @@ class WindowResult:
     n_total_wins: int
     decisions: np.ndarray  # uint8 [L_true] final per-column classes
     info: np.ndarray | None = None  # f32 [n_sup] info logits (parity/debug)
+    # pure counting-rule decisions (no model override); populated when the
+    # runner's collect_counting flag is set — lets one pass emit both the
+    # model and the counting-baseline decode on identical features.
+    counting: np.ndarray | None = None
 
 
 def make_correct_step(cfg: ModelConfig):
@@ -75,10 +79,14 @@ class CorrectionRunner:
         mesh: Mesh | None = None,
         collect_info: bool = False,
         counting_only: bool = False,
+        collect_counting: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.collect_info = collect_info
+        # Also surface the pure counting decode per window (baseline decode
+        # rides along for free — the fused step computes it regardless).
+        self.collect_counting = collect_counting
         # Diagnostic: skip the model override at supported columns, leaving
         # the pure counting-rule decode everywhere (quantifies the model's
         # contribution vs the counting floor).
@@ -132,9 +140,12 @@ class CorrectionRunner:
         out = []
         for i, w in enumerate(batch.windows):
             l, s = w.length, w.n_supported
-            dec = decisions[i, :l].copy()
-            if not self.counting_only:
+            counting = decisions[i, :l].copy()
+            if self.counting_only:
+                dec = counting
+            else:
                 # Model verdicts override counting at supported columns.
+                dec = counting.copy() if self.collect_counting else counting
                 dec[w.support_flat] = classes[i, :s]
             out.append(
                 WindowResult(
@@ -144,6 +155,7 @@ class CorrectionRunner:
                     n_total_wins=w.n_total_wins,
                     decisions=dec,
                     info=info[i, :s].copy() if info is not None else None,
+                    counting=counting if self.collect_counting else None,
                 )
             )
         return out

@@ -2,17 +2,28 @@
 
 Runs the full production pipeline (features -> model -> fused consensus ->
 stitching) on a fresh simulated dataset and scores corrected reads against
-the known truth: per-base identity and Q-score, versus the raw reads and
-versus a counting-only decode (model disabled). The reference publishes
-quality as downstream assembly stats (BASELINE.md); this is the
-framework-local equivalent gate.
+the known truth. The reference publishes quality only as downstream assembly
+stats (BASELINE.md); this is the framework-local equivalent gate, with
+breakdowns the reference cannot produce:
+
+* full-read and per-base (infix) identity / Q, over *all* corrected
+  fragments (truth-mapped via banded fitting alignment with traceback);
+* per-base error composition (sub / ins / del);
+* het-site allele preservation — the read's own haplotype allele must
+  survive correction (pooled majority voting is systematically wrong there;
+  the haplotype re-rank + model exist for this case, src/features.rs:461-528);
+* homopolymer vs non-homopolymer error rates (ONT indel errors concentrate
+  in homopolymer runs; the simulator boosts them accordingly);
+* decode modes on matched seeds: ``model`` (production), ``counting``
+  (model disabled — the floor), ``oracle`` (truth injected at supported
+  columns — the ceiling of what any model could add).
 """
 
 from __future__ import annotations
 
 import os
 import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -21,29 +32,112 @@ from ..overlaps.paf import parse_paf
 from ..pipeline.batching import BucketSpec
 from ..pipeline.engine import run_correction
 from ..pipeline.infer import CorrectionRunner
-from ..utils.edist import identity, infix_identity, qscore
-from .simulate import SimDataset, paf_rows, simulate, true_sequence
+from ..utils.align import align_to_truth
+from ..utils.edist import identity, qscore
+from .simulate import SimDataset, SimRead, _COMP, paf_rows, simulate, true_sequence
 
 
 @dataclass
-class EvalResult:
-    n_reads: int
-    raw_identity: float
-    corrected_identity: float
-    raw_q: float
-    corrected_q: float
-    # per-base identity of corrected fragments over the truth span they cover
-    # (free end-gaps: doesn't charge the by-design window trimming)
-    corrected_infix_identity: float = 0.0
-    corrected_infix_q: float = 0.0
+class ScoreAccumulator:
+    """Truth-aligned counts over every fragment of every read."""
+
+    n_reads: int = 0
+    n_fragments: int = 0
+    n_unaligned_fragments: int = 0
+    matches: int = 0
+    subs: int = 0
+    ins: int = 0
+    dels: int = 0
+    het_covered: int = 0
+    het_preserved: int = 0
+    het_switched: int = 0
+    het_lost: int = 0
+    hp_bases: int = 0
+    hp_errors: int = 0
+    non_hp_bases: int = 0
+    non_hp_errors: int = 0
+    read_idents: list = field(default_factory=list)
+    raw_idents: list = field(default_factory=list)
+
+    @property
+    def aligned(self) -> int:
+        return self.matches + self.subs + self.ins + self.dels
 
     def as_dict(self) -> dict:
-        return self.__dict__.copy()
+        al = max(self.aligned, 1)
+        infix_ident = self.matches / al
+        out = {
+            "n_reads": self.n_reads,
+            "n_fragments": self.n_fragments,
+            "raw_identity": float(np.mean(self.raw_idents)) if self.raw_idents else 0.0,
+            "corrected_identity": float(np.mean(self.read_idents)) if self.read_idents else 0.0,
+            "corrected_infix_identity": infix_ident,
+            "corrected_infix_q": qscore(infix_ident),
+            "errors": {
+                "sub_rate": self.subs / al,
+                "ins_rate": self.ins / al,
+                "del_rate": self.dels / al,
+            },
+        }
+        out["raw_q"] = qscore(out["raw_identity"])
+        out["corrected_q"] = qscore(out["corrected_identity"])
+        if self.het_covered:
+            out["het"] = {
+                "sites": self.het_covered,
+                "preserved": self.het_preserved,
+                "switched": self.het_switched,
+                "lost": self.het_lost,
+                "accuracy": self.het_preserved / self.het_covered,
+            }
+        if self.hp_bases:
+            hp_rate = self.hp_errors / self.hp_bases
+            nhp_rate = self.non_hp_errors / max(self.non_hp_bases, 1)
+            out["homopolymer"] = {
+                "hp_bases": self.hp_bases,
+                "hp_err_rate": hp_rate,
+                "hp_q": qscore(1.0 - hp_rate),
+                "non_hp_err_rate": nhp_rate,
+                "non_hp_q": qscore(1.0 - nhp_rate),
+            }
+        if self.n_unaligned_fragments:
+            out["n_unaligned_fragments"] = self.n_unaligned_fragments
+        return out
 
 
-def _score(
-    ds: SimDataset, reads, fasta_path: str
-) -> tuple[float, float, float]:
+def _truth_context(ds: SimDataset, r: SimRead):
+    """(truth, other, het_mask, hp_mask) in the read's stored orientation.
+
+    ``other`` is the opposite haplotype's sequence over the same span (None
+    when haploid); ``hp_mask`` flags truth positions inside homopolymer runs
+    of length >= 3.
+    """
+    own = ds.hap_seq(r.hap)[r.start : r.end]
+    truth = _COMP[own][::-1].copy() if r.rc else own
+    other = None
+    het = None
+    if ds.haplotypes is not None:
+        o = ds.hap_seq(1 - r.hap)[r.start : r.end]
+        other = _COMP[o][::-1].copy() if r.rc else o
+        het = truth != other
+
+    n = truth.shape[0]
+    hp = np.zeros(n, dtype=bool)
+    if n >= 3:
+        same_prev = np.concatenate([[False], truth[1:] == truth[:-1]])
+        run_id = np.cumsum(~same_prev) - 1
+        run_len = np.bincount(run_id)
+        hp = run_len[run_id] >= 3
+    return truth, other, het, hp
+
+
+def score_fragments(
+    ds: SimDataset,
+    reads,
+    fasta_path: str,
+    acc: ScoreAccumulator,
+    min_fragment: int = 64,
+) -> None:
+    """Score every corrected fragment of ``fasta_path`` into ``acc``."""
     by_name: dict[bytes, list[bytes]] = {}
     name = None
     with open(fasta_path, "rb") as fh:
@@ -55,25 +149,141 @@ def _score(
             elif line and name is not None:
                 by_name[name][-1] += line
 
-    idents = []
-    raw_idents = []
-    infix_idents = []
     for r in ds.reads:
         frags = by_name.get(r.name)
         if not frags:
             continue
-        truth = true_sequence(ds, r)
-        # score the longest fragment against the truth (split reads rare)
-        corrected = max(frags, key=len)
-        idents.append(identity(corrected, truth))
-        infix_idents.append(infix_identity(corrected, truth))
-        rid = reads.name_to_id[r.name]
-        raw_idents.append(identity(reads.seq(rid).tobytes(), truth))
-    return (
-        float(np.mean(raw_idents)),
-        float(np.mean(idents)),
-        float(np.mean(infix_idents)),
-    )
+        acc.n_reads += 1
+        truth, other, het, hp = _truth_context(ds, r)
+        truth_b = truth.tobytes()
+
+        # full-read identity: the longest fragment against the full truth
+        # (charges the by-design end-trimming); raw read likewise.
+        longest = max(frags, key=len)
+        acc.read_idents.append(identity(longest, truth_b))
+        rid = reads.name_to_id.get(r.name)
+        if rid is not None:
+            acc.raw_idents.append(identity(reads.seq(rid).tobytes(), truth_b))
+
+        covered = np.zeros(truth.shape[0], dtype=bool)
+        b2a_all = np.full(truth.shape[0], 254, dtype=np.uint8)
+        ins_all = np.zeros(truth.shape[0] + 1, dtype=np.int64)
+        for frag in frags:
+            if len(frag) < min_fragment:
+                continue
+            acc.n_fragments += 1
+            ta = align_to_truth(frag, truth)
+            if ta is None:
+                acc.n_unaligned_fragments += 1
+                continue
+            acc.matches += ta.matches
+            acc.subs += ta.subs
+            acc.ins += ta.ins
+            acc.dels += ta.dels
+            sl = slice(ta.j0, ta.j1)
+            covered[sl] = True
+            b2a_all[sl] = ta.b2a[sl]
+            ins_all += ta.ins_after
+
+        if het is not None:
+            het_cov = het & covered
+            acc.het_covered += int(het_cov.sum())
+            v = b2a_all[het_cov]
+            own_a = truth[het_cov]
+            oth_a = other[het_cov]
+            preserved = v == own_a
+            switched = (~preserved) & (v == oth_a)
+            acc.het_preserved += int(preserved.sum())
+            acc.het_switched += int(switched.sum())
+            acc.het_lost += int((~preserved & ~switched).sum())
+
+        # homopolymer vs non-homopolymer error rates over covered positions:
+        # substitutions/deletions charge their position; insertions charge the
+        # position they precede.
+        err = covered & (b2a_all != truth)
+        ins_at = ins_all[: truth.shape[0]]
+        hp_cov = hp & covered
+        nhp_cov = ~hp & covered
+        acc.hp_bases += int(hp_cov.sum())
+        acc.non_hp_bases += int(nhp_cov.sum())
+        acc.hp_errors += int(err[hp_cov].sum() + ins_at[hp_cov].sum())
+        acc.non_hp_errors += int(err[nhp_cov].sum() + ins_at[nhp_cov].sum())
+
+
+@dataclass
+class EvalResult:
+    mode: str
+    scores: dict
+    counting: dict | None = None  # matched-features counting baseline
+    model_gain_db: float | None = None
+
+    # flat accessors kept for existing callers/tests
+    @property
+    def n_reads(self) -> int:
+        return self.scores["n_reads"]
+
+    @property
+    def raw_q(self) -> float:
+        return self.scores["raw_q"]
+
+    @property
+    def corrected_q(self) -> float:
+        return self.scores["corrected_q"]
+
+    @property
+    def corrected_identity(self) -> float:
+        return self.scores["corrected_identity"]
+
+    @property
+    def raw_identity(self) -> float:
+        return self.scores["raw_identity"]
+
+    @property
+    def corrected_infix_q(self) -> float:
+        return self.scores["corrected_infix_q"]
+
+    @property
+    def corrected_infix_identity(self) -> float:
+        return self.scores["corrected_infix_identity"]
+
+    def as_dict(self) -> dict:
+        out = {"mode": self.mode, **self.scores}
+        if self.counting is not None:
+            out["counting_baseline"] = self.counting
+            out["model_gain_db"] = self.model_gain_db
+        return out
+
+
+def _oracle_correct(
+    ds: SimDataset, reads, grouped, window_size: int, out_path: str
+) -> int:
+    """Decode with truth injected at supported columns (model ceiling)."""
+    from ..features.extract import extract_read_features
+    from ..io.fasta import write_corrected
+    from ..ops.consensus import count_decisions_np, stitch_read
+    from ..pipeline.batching import tensorize
+    from .labels import read_labels
+
+    by_name = {r.name: r for r in ds.reads}
+    n = 0
+    with open(out_path, "wb") as out:
+        for rid, alns in grouped.items():
+            sim_read = by_name[reads.ids[rid]]
+            feats = extract_read_features(rid, reads, alns, window_size)
+            labels = read_labels(ds, sim_read, feats, window_size)
+            windows = []
+            for wf, (lab, _info) in zip(feats, labels):
+                wt = tensorize(wf)
+                dec = count_decisions_np(wt.tokens, wt.n_alns)
+                dec[wt.support_flat] = lab
+                windows.append((wt.n_alns, dec))
+            frags = stitch_read(windows)
+            if frags is not None:
+                write_corrected(
+                    out, reads.ids[rid], reads.descriptions[rid], frags
+                )
+                n += 1
+    return n
 
 
 def evaluate(
@@ -90,7 +300,18 @@ def evaluate(
     batch_size: int = 16,
     bucket_spec: BucketSpec | None = None,
     counting_only: bool = False,
+    mode: str | None = None,
+    with_baseline: bool = False,
 ) -> EvalResult:
+    """Evaluate a checkpoint (or a decode mode) on a fresh simulation.
+
+    ``mode``: ``model`` (default), ``counting`` (pure counting floor) or
+    ``oracle`` (truth at supported columns — the ceiling). With
+    ``with_baseline`` the model run *also* emits the counting decode of the
+    identical features, and ``model_gain_db`` reports the matched-seed gap.
+    """
+    if mode is None:
+        mode = "counting" if counting_only else "model"
     ds = simulate(
         genome_len=genome_len,
         n_reads=n_reads,
@@ -109,25 +330,40 @@ def evaluate(
             paf_rows(ds, min_overlap=window_size), reads.name_to_id
         )
 
-        runner = CorrectionRunner(cfg, params, counting_only=counting_only)
         out = os.path.join(tmp, "corrected.fasta")
-        n = run_correction(
-            reads,
-            iter(grouped.items()),
-            runner,
-            out,
-            window_size,
-            batch_size,
-            bucket_spec=bucket_spec,
-        )
-        raw_i, cor_i, infix_i = _score(ds, reads, out)
+        cnt_out = os.path.join(tmp, "counting.fasta") if with_baseline else None
+        if mode == "oracle":
+            _oracle_correct(ds, reads, grouped, window_size, out)
+        else:
+            runner = CorrectionRunner(
+                cfg,
+                params,
+                counting_only=(mode == "counting"),
+                collect_counting=with_baseline,
+            )
+            run_correction(
+                reads,
+                iter(grouped.items()),
+                runner,
+                out,
+                window_size,
+                batch_size,
+                bucket_spec=bucket_spec,
+                counting_output_path=cnt_out,
+            )
+
+        acc = ScoreAccumulator()
+        score_fragments(ds, reads, out, acc)
+        scores = acc.as_dict()
+
+        counting_scores = None
+        gain = None
+        if cnt_out is not None:
+            cacc = ScoreAccumulator()
+            score_fragments(ds, reads, cnt_out, cacc)
+            counting_scores = cacc.as_dict()
+            gain = scores["corrected_infix_q"] - counting_scores["corrected_infix_q"]
 
     return EvalResult(
-        n_reads=n,
-        raw_identity=raw_i,
-        corrected_identity=cor_i,
-        raw_q=qscore(raw_i),
-        corrected_q=qscore(cor_i),
-        corrected_infix_identity=infix_i,
-        corrected_infix_q=qscore(infix_i),
+        mode=mode, scores=scores, counting=counting_scores, model_gain_db=gain
     )
