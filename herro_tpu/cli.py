@@ -136,11 +136,34 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument(
         "--data-cache",
         default="",
-        help="pickle path caching the simulated labelled windows (featgen on "
-        "one core takes minutes; restarts reuse the cache)",
+        help="cache path for the simulated labelled windows (featgen on one "
+        "core takes minutes; restarts reuse the cache). A pickle file for "
+        "the single-profile path, a directory with --curriculum",
     )
-    pt.add_argument("--max-len", type=int, default=5120, help="padded window length")
-    pt.add_argument("--max-sup", type=int, default=640, help="padded supported count")
+    pt.add_argument(
+        "--curriculum",
+        action="store_true",
+        help="train on the pooled multi-regime curriculum (coverage 15-60x, "
+        "R10/R9 error profiles, haploid/het shards) instead of one profile",
+    )
+    pt.add_argument(
+        "--hard-weight",
+        type=float,
+        default=3.0,
+        help="extra cross-entropy weight on columns where truth != target "
+        "(0 = unweighted)",
+    )
+    pt.add_argument(
+        "--max-len",
+        type=int,
+        default=0,
+        help="pad every batch to one fixed window length instead of the "
+        "(5120/8192/10240) production-width bucket ladder",
+    )
+    pt.add_argument(
+        "--max-sup", type=int, default=640, help="padded supported count "
+        "(only with --max-len)",
+    )
     pt.add_argument(
         "--devices", default="0", help="devices: count or index list '0,1,3'"
     )
@@ -342,7 +365,12 @@ def cmd_train(args) -> None:
     import jax
 
     from .models.checkpoint import load_or_init, save_model
-    from .training.data import batch_iterator, simulated_windows
+    from .training.data import (
+        batch_iterator,
+        bucketed_batch_iterator,
+        curriculum_windows,
+        simulated_windows,
+    )
     from .training.simulate import simulate
     from .training.train import Trainer
 
@@ -351,7 +379,11 @@ def cmd_train(args) -> None:
     mesh = _build_mesh(n_dev, args.tp)
 
     windows = None
-    if args.data_cache:
+    if args.curriculum:
+        windows = curriculum_windows(
+            args.window_size, cache_dir=args.data_cache or None
+        )
+    if windows is None and args.data_cache:
         import pickle
 
         try:
@@ -386,15 +418,27 @@ def cmd_train(args) -> None:
                 pickle.dump(windows, fh)
     print(f"{len(windows)} labelled windows.", file=sys.stderr)
 
-    trainer = Trainer(cfg, params, lr=args.lr, total_steps=args.steps, mesh=mesh)
-    it = batch_iterator(
-        windows,
-        args.batch_size,
-        L=args.max_len,
-        S=args.max_sup,
-        n_epochs=10_000,
-        seed=args.seed,
+    trainer = Trainer(
+        cfg,
+        params,
+        lr=args.lr,
+        total_steps=args.steps,
+        mesh=mesh,
+        hard_weight=args.hard_weight,
     )
+    if args.max_len:
+        it = batch_iterator(
+            windows,
+            args.batch_size,
+            L=args.max_len,
+            S=args.max_sup,
+            n_epochs=10_000,
+            seed=args.seed,
+        )
+    else:
+        it = bucketed_batch_iterator(
+            windows, args.batch_size, n_epochs=10_000, seed=args.seed
+        )
     for batch in it:
         metrics = trainer.train_step(batch)
         if trainer.state.step % 50 == 0:

@@ -57,6 +57,93 @@ def simulated_windows(
     return out
 
 
+@dataclass(frozen=True)
+class SimProfile:
+    """One simulated training shard: an error/coverage/ploidy regime."""
+
+    name: str
+    sub_rate: float
+    ins_rate: float
+    del_rate: float
+    het_rate: float
+    n_reads: int
+    genome_len: int = 200_000
+    seed: int = 0
+
+
+# Pooled multi-regime curriculum. Coverage spans what real runs see after
+# the TOP_K=30 row cap (evals sit at ~20-25x; UL data ranges 15-90x);
+# error rates span R10.4.1-like (2-4%) to R9.4.1-like (8-10%); het on by
+# default with haploid and high-het shards so neither regime is baked in.
+# Reads average ~8 windows, so each shard yields ~#reads*6-8 windows.
+CURRICULUM: tuple[SimProfile, ...] = (
+    SimProfile("r10-low15x", 0.02, 0.02, 0.02, 0.005, 95, seed=101),
+    SimProfile("r10-mid28x", 0.02, 0.02, 0.02, 0.005, 175, seed=102),
+    SimProfile("r10-high60x", 0.02, 0.02, 0.02, 0.005, 280, 150_000, seed=103),
+    SimProfile("r10-clean30x", 0.01, 0.015, 0.015, 0.005, 190, seed=104),
+    SimProfile("r9-noisy30x", 0.05, 0.03, 0.03, 0.005, 190, seed=105),
+    SimProfile("r9-mid45x", 0.04, 0.025, 0.025, 0.005, 280, seed=106),
+    SimProfile("haploid30x", 0.02, 0.02, 0.02, 0.0, 190, seed=107),
+    SimProfile("het1pct30x", 0.02, 0.02, 0.02, 0.01, 190, seed=108),
+)
+
+
+def profile_windows(
+    p: SimProfile, window_size: int, cache_dir: str | None = None
+) -> list[LabelledWindow]:
+    """Labelled windows of one profile, cached per-profile when a cache dir
+    is given (featgen is the expensive part; each shard regenerates
+    independently so interrupted builds resume)."""
+    import os
+    import pickle
+    import tempfile
+
+    cache = (
+        os.path.join(cache_dir, f"{p.name}-w{window_size}.pkl")
+        if cache_dir
+        else None
+    )
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            return pickle.load(fh)
+    ds = simulate(
+        genome_len=p.genome_len,
+        n_reads=p.n_reads,
+        read_len=(4 * window_size, 12 * window_size),
+        sub_rate=p.sub_rate,
+        ins_rate=p.ins_rate,
+        del_rate=p.del_rate,
+        het_rate=p.het_rate,
+        seed=p.seed,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        windows = simulated_windows(ds, f"{tmp}/reads.fastq", window_size)
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp_path = cache + ".tmp"
+        with open(tmp_path, "wb") as fh:
+            pickle.dump(windows, fh)
+        os.replace(tmp_path, cache)
+    return windows
+
+
+def curriculum_windows(
+    window_size: int,
+    cache_dir: str | None = None,
+    profiles: tuple[SimProfile, ...] = CURRICULUM,
+    verbose: bool = True,
+) -> list[LabelledWindow]:
+    import sys
+
+    out: list[LabelledWindow] = []
+    for p in profiles:
+        ws = profile_windows(p, window_size, cache_dir)
+        if verbose:
+            print(f"[data] {p.name}: {len(ws)} windows", file=sys.stderr)
+        out.extend(ws)
+    return out
+
+
 def collate_train(
     windows: list[LabelledWindow], L: int, S: int
 ) -> TrainBatch:
@@ -95,3 +182,55 @@ def batch_iterator(
         for i in range(0, len(order) - batch_size + 1, batch_size):
             batch = [windows[j] for j in order[i : i + batch_size]]
             yield collate_train(batch, L, S)
+
+
+# Training-time (L, S) shape ladder. Production windows are W=4096 target
+# bases plus reserved insertion columns — ~7-10k pileup columns at realistic
+# coverage/error profiles — so training must cover the FULL width (a single
+# 5120 pad silently truncated half of every window and ~45% of its supported
+# columns; the model then saw untrained distributions at inference). Three
+# buckets keep XLA at three compiled programs while not padding short
+# windows to the worst case.
+TRAIN_BUCKETS: tuple[tuple[int, int], ...] = (
+    (5120, 768),
+    (8192, 1280),
+    (10240, 1536),
+)
+
+
+def bucketed_batch_iterator(
+    windows: list[LabelledWindow],
+    batch_size: int,
+    n_epochs: int,
+    seed: int = 0,
+    buckets: tuple[tuple[int, int], ...] = TRAIN_BUCKETS,
+) -> Iterator[TrainBatch]:
+    """Shuffle windows into per-(L, S) bucket batches each epoch.
+
+    A window lands in the smallest bucket that fits both its length and its
+    supported count; windows exceeding the top bucket are truncated there
+    (a handful of pathological outliers at most).
+    """
+    rng = np.random.default_rng(seed)
+    assign: dict[tuple[int, int], list[int]] = {b: [] for b in buckets}
+    top = buckets[-1]
+    for j, w in enumerate(windows):
+        for L, S in buckets:
+            if w.tokens.shape[0] <= L and w.support_flat.shape[0] <= S:
+                assign[(L, S)].append(j)
+                break
+        else:
+            assign[top].append(j)
+
+    for _ in range(n_epochs):
+        batches: list[tuple[tuple[int, int], np.ndarray]] = []
+        for key, idxs in assign.items():
+            if len(idxs) < batch_size:
+                continue
+            order = rng.permutation(len(idxs))
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                batches.append((key, order[i : i + batch_size]))
+        rng.shuffle(batches)
+        for (L, S), rows in batches:
+            idxs = assign[(L, S)]
+            yield collate_train([windows[idxs[r]] for r in rows], L, S)

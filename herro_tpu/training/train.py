@@ -52,7 +52,13 @@ def make_optimizer(
 
 
 def make_train_step(cfg: ModelConfig, optimizer, info_weight: float = 0.1,
-                    mesh: Mesh | None = None, params_like=None, opt_like=None):
+                    mesh: Mesh | None = None, params_like=None, opt_like=None,
+                    hard_weight: float = 0.0):
+    """``hard_weight`` > 0 up-weights the cross-entropy at columns where the
+    truth differs from the target read's current symbol (the info label) —
+    the ~17% of supported columns where correction actually changes a base.
+    The easy 83% (model must merely agree with the target) otherwise dominate
+    the gradient."""
     model = CorrectionModel(cfg)
 
     def loss_fn(params, tokens, quals_u8, sidx, smask, labels, info_labels):
@@ -62,14 +68,27 @@ def make_train_step(cfg: ModelConfig, optimizer, info_weight: float = 0.1,
         denom = jnp.maximum(m.sum(), 1.0)
 
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-        ce = (ce * m).sum() / denom
+        w = m * (1.0 + hard_weight * info_labels)
+        ce = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         bce = optax.sigmoid_binary_cross_entropy(info, info_labels)
         bce = (bce * m).sum() / denom
 
         acc = ((jnp.argmax(logits, -1) == labels) * m).sum() / denom
+        # accuracy restricted to the hard (truth != target) columns — the
+        # number that moves corrected quality.
+        hm = m * info_labels
+        hard_acc = ((jnp.argmax(logits, -1) == labels) * hm).sum() / jnp.maximum(
+            hm.sum(), 1.0
+        )
         loss = ce + info_weight * bce
-        return loss, {"loss": loss, "ce": ce, "info_bce": bce, "acc": acc}
+        return loss, {
+            "loss": loss,
+            "ce": ce,
+            "info_bce": bce,
+            "acc": acc,
+            "hard_acc": hard_acc,
+        }
 
     def step(params, opt_state, tokens, quals, sidx, smask, labels, info_labels):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -103,6 +122,7 @@ class Trainer:
         total_steps: int = 10_000,
         mesh: Mesh | None = None,
         info_weight: float = 0.1,
+        hard_weight: float = 0.0,
     ):
         self.cfg = cfg
         self.optimizer = make_optimizer(lr, total_steps=total_steps)
@@ -127,7 +147,7 @@ class Trainer:
         self.state = TrainState(params, opt_state)
         self._step = make_train_step(
             cfg, self.optimizer, info_weight, mesh,
-            params_like=params, opt_like=opt_like,
+            params_like=params, opt_like=opt_like, hard_weight=hard_weight,
         )
         self.mesh = mesh
 
