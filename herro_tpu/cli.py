@@ -267,16 +267,21 @@ def cmd_features(args) -> None:
     from .features.npy import write_window_features
     from .pipeline.engine import AlnMode, alignment_stream
 
+    from .overlaps.paf import ParseStats
+
     reads = _load(args)
     mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
+    stats = ParseStats()
     n = 0
     for rid, alns in alignment_stream(
-        reads, args.reads, mode, args.feat_gen_threads
+        reads, args.reads, mode, args.feat_gen_threads, stats=stats
     ):
         feats = extract_read_features(rid, reads, alns, args.window_size)
         write_window_features(args.output, reads, feats)
         n += 1
     print(f"Generated features for {n} reads.", file=sys.stderr)
+    if stats.n_skipped:
+        print(f"[herro-tpu] PAF ingest: {stats.summary()}", file=sys.stderr)
 
 
 def cmd_inference(args) -> None:
@@ -308,8 +313,11 @@ def cmd_inference(args) -> None:
     from .pipeline.engine import StageTimers
     from .pipeline.progress import Progress
 
+    from .overlaps.paf import ParseStats
+
     progress = Progress()
     mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
+    paf_stats = ParseStats()
     # Multi-host (jax.distributed): each process takes every k-th
     # target-partitioned alignment batch and writes its own shard output.
     stride = (jax.process_index(), jax.process_count())
@@ -324,6 +332,7 @@ def cmd_inference(args) -> None:
         core=core,
         on_batch=progress.add_batch,
         stride=stride,
+        stats=paf_stats,
     )
 
     if args.shard:
@@ -357,6 +366,8 @@ def cmd_inference(args) -> None:
         f"({timers.summary()}).",
         file=sys.stderr,
     )
+    if paf_stats.n_skipped:
+        print(f"[herro-tpu] PAF ingest: {paf_stats.summary()}", file=sys.stderr)
 
 
 def cmd_train(args) -> None:

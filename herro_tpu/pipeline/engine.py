@@ -26,7 +26,7 @@ from ..io.fasta import write_corrected
 from ..io.fastx import ReadSet
 from ..overlaps.batches import BatchWriter, list_batches, read_batch
 from ..overlaps.mm2 import overlap_batches
-from ..overlaps.paf import Alignment, parse_paf
+from ..overlaps.paf import Alignment, ParseStats, parse_paf
 from ..ops.consensus import count_decisions_np, stitch_read
 from ..pipeline.batching import BucketBatcher, BucketSpec, tensorize
 from ..pipeline.infer import CorrectionRunner, WindowResult
@@ -48,6 +48,7 @@ def alignment_stream(
     core: set[str] | None = None,
     on_batch: Callable[[int], None] | None = None,
     stride: tuple[int, int] = (0, 1),
+    stats: ParseStats | None = None,
 ) -> Iterator[tuple[int, list[Alignment]]]:
     """Stream (target rid, alignments) per read (src/overlaps.rs:325-375).
 
@@ -55,6 +56,8 @@ def alignment_stream(
     multi-host work split: batches are target-partitioned, so each process
     owns a disjoint set of target reads and no cross-host exchange is needed
     beyond the (replicated) read set.
+
+    ``stats`` accumulates PAF skip-and-count totals across all batches.
     """
     p_idx, p_cnt = stride
     if aln_mode.read_path is not None:
@@ -62,7 +65,7 @@ def alignment_stream(
             if k % p_cnt != p_idx:
                 continue
             _, lines = read_batch(path)
-            grouped = parse_paf(lines, reads.name_to_id, core=core)
+            grouped = parse_paf(lines, reads.name_to_id, core=core, stats=stats)
             if on_batch:
                 on_batch(len(grouped))
             yield from grouped.items()
@@ -82,6 +85,7 @@ def alignment_stream(
                 reads.name_to_id,
                 core=core,
                 raw_writer=writer,
+                stats=stats,
             )
             if writer is not None:
                 writer.close()
@@ -111,6 +115,43 @@ class ConsensusAccumulator:
     @property
     def n_pending(self) -> int:
         return len(self._pending)
+
+
+def truncate_partial_tail(output_path: str) -> int:
+    """Drop a partially-written trailing FASTA record before resuming.
+
+    A crash mid-append can cut the output anywhere; trusting the tail would
+    mark a read "done" with a truncated sequence. A record is complete iff a
+    ``>`` header line and its single sequence line both end in a newline — a
+    byte-level cut cannot fabricate a newline, so truncating to the last
+    complete record is sound. Returns the number of bytes removed.
+    """
+    import os
+
+    try:
+        size = os.path.getsize(output_path)
+    except OSError:
+        return 0
+    good_end = 0
+    with open(output_path, "rb") as fh:
+        offset = 0
+        expect_seq = False
+        for line in fh:
+            offset += len(line)
+            if not line.endswith(b"\n"):
+                break  # cut mid-line
+            if not expect_seq:
+                if not line.startswith(b">"):
+                    break  # corrupt interleaving: keep only up to here
+                expect_seq = True
+            else:
+                expect_seq = False
+                good_end = offset
+    removed = size - good_end
+    if removed:
+        with open(output_path, "r+b") as fh:
+            fh.truncate(good_end)
+    return removed
 
 
 def corrected_read_ids(output_path: str) -> set[bytes]:
@@ -194,6 +235,13 @@ def run_correction(
 
     skip: set[int] = set()
     if resume:
+        removed = truncate_partial_tail(output_path)
+        if removed:
+            print(
+                f"[herro-tpu] resume: dropped a partial trailing record "
+                f"({removed} bytes)",
+                flush=True,
+            )
         skip = _fold_resume_ids(corrected_read_ids(output_path), reads.name_to_id)
         if skip:
             print(

@@ -33,7 +33,7 @@ from ..pipeline.batching import BucketSpec
 from ..pipeline.engine import run_correction
 from ..pipeline.infer import CorrectionRunner
 from ..utils.align import align_to_truth
-from ..utils.edist import identity, qscore
+from ..utils.edist import qscore
 from .simulate import SimDataset, SimRead, _COMP, paf_rows, simulate, true_sequence
 
 
@@ -149,6 +149,16 @@ def score_fragments(
             elif line and name is not None:
                 by_name[name][-1] += line
 
+    def _full_identity(seq: bytes, truth_len: int) -> float | None:
+        """1 - (fit distance + uncovered-truth charge) / truth_len: global
+        identity against the full truth, charging end trims as errors.
+        Computed from the (native) fitting alignment — the dense numpy
+        banded_edit_distance took ~10s per UL read and dominated eval."""
+        ta = align_to_truth(seq, truth_b)
+        if ta is None:
+            return None
+        return max(0.0, 1.0 - (ta.distance + truth_len - ta.span_len) / truth_len)
+
     for r in ds.reads:
         frags = by_name.get(r.name)
         if not frags:
@@ -160,10 +170,14 @@ def score_fragments(
         # full-read identity: the longest fragment against the full truth
         # (charges the by-design end-trimming); raw read likewise.
         longest = max(frags, key=len)
-        acc.read_idents.append(identity(longest, truth_b))
+        ident = _full_identity(longest, truth.shape[0])
+        if ident is not None:
+            acc.read_idents.append(ident)
         rid = reads.name_to_id.get(r.name)
         if rid is not None:
-            acc.raw_idents.append(identity(reads.seq(rid).tobytes(), truth_b))
+            ident = _full_identity(reads.seq(rid).tobytes(), truth.shape[0])
+            if ident is not None:
+                acc.raw_idents.append(ident)
 
         covered = np.zeros(truth.shape[0], dtype=bool)
         b2a_all = np.full(truth.shape[0], 254, dtype=np.uint8)

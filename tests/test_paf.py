@@ -82,3 +82,65 @@ def test_batch_roundtrip(tmp_path):
     ids, it = read_batch(paths[0])
     assert ids == [b"a", b"b"]
     assert list(it) == lines
+
+
+def test_malformed_rows_skipped_and_counted():
+    """Corrupted PAF rows are skipped with counters, never raised
+    (the reference would panic on these — overlaps.rs:172)."""
+    from herro_tpu.overlaps.paf import ParseStats
+
+    good = _row(b"a", b"b")
+    bad = [
+        _row(b"a", b"c")[:30],                      # truncated mid-field
+        b"a\tnotanint\t0\t50\t+\tc\t120\t10\t60\t40\t50\t60\tcg:Z:10M",
+        _row(b"a", b"c").replace(b"cg:Z:10M", b"xx:Z:10M"),  # tag missing
+        _row(b"a", b"c", cigar=b"10M5S10M"),        # unsupported S op
+        _row(b"a", b"c", cigar=b"MM10"),            # garbled CIGAR
+        _row(b"a", b"c", cigar=b"99999999999999M"), # overflowing run length
+        b"\x00\xff\xfe garbage line",
+        b"",
+    ]
+    stats = ParseStats()
+    out = parse_paf([good] + bad + [_row(b"c", b"b", cigar=b"20M")],
+                    NAMES, stats=stats)
+    # the two good rows survive, grouped under target b
+    assert sorted(a.qid for a in out[1]) == [0, 2]
+    assert stats.n_kept == 2
+    assert stats.n_bad_cigar == 3
+    # the truncated row still has >= 10 fields, so it surfaces as a missing
+    # cg:Z: tag rather than as malformed
+    assert stats.n_no_cigar == 2
+    assert stats.n_malformed == 2
+    assert "skipped" in stats.summary()
+
+
+def test_fuzzed_rows_never_raise():
+    """Random byte-level mutations of valid rows must never escape parse_paf."""
+    import numpy as np
+    from herro_tpu.overlaps.paf import ParseStats
+
+    rng = np.random.default_rng(0)
+    base = _row(b"a", b"b", cigar=b"5M2I3M1D5M")
+    rows = []
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(buf))) if buf else 0
+            if op == 0 and buf:
+                buf[pos] = int(rng.integers(0, 256))
+            elif op == 1 and buf:
+                del buf[pos]
+            else:
+                buf.insert(pos, int(rng.integers(0, 256)))
+        rows.append(bytes(buf))
+    stats = ParseStats()
+    parse_paf(rows, NAMES, stats=stats)  # must not raise
+    assert stats.n_rows <= 300
+
+
+def test_cg_tag_found_among_other_tags():
+    """cg:Z: is located even when other SAM-style tags follow it."""
+    row = _row(b"a", b"b") + b"\tms:i:100\tAS:i:99"
+    out = parse_paf([row], NAMES)
+    assert len(out[1]) == 1 and len(out[1][0].cigar) == 1
