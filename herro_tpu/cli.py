@@ -46,6 +46,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         default=1,
         help="feature generation threads (default 1)",
     )
+    p.add_argument(
+        "--feat-gen-procs",
+        type=int,
+        default=0,
+        help="feature generation worker *processes* (GIL-free; read arenas "
+        "shared zero-copy via fork). Overrides -t for featgen when > 1",
+    )
     p.add_argument("reads", help="fastq reads, optionally gzipped (file or dir)")
 
 
@@ -268,18 +275,42 @@ def cmd_features(args) -> None:
     from .pipeline.engine import AlnMode, alignment_stream
 
     from .overlaps.paf import ParseStats
+    from .pipeline.engine import _parallel_featgen
 
     reads = _load(args)
     mode = AlnMode(read_path=args.read_alns, write_path=args.write_alns)
     stats = ParseStats()
-    n = 0
-    for rid, alns in alignment_stream(
+    source = alignment_stream(
         reads, args.reads, mode, args.feat_gen_threads, stats=stats
-    ):
-        feats = extract_read_features(rid, reads, alns, args.window_size)
-        write_window_features(args.output, reads, feats)
-        n += 1
-    print(f"Generated features for {n} reads.", file=sys.stderr)
+    )
+
+    seen: set[int] = set()
+
+    def handle(wf) -> None:
+        write_window_features(args.output, reads, [wf])
+        seen.add(wf.rid)
+
+    # Parallel featgen (reference: -t threads, src/lib.rs:84-104): worker
+    # processes fork-share the read arenas; the npy writes stay on this
+    # thread. Falls back to GIL-sharing threads, then serial.
+    if args.feat_gen_procs > 1:
+        from .pipeline.procpool import parallel_featgen_procs
+
+        parallel_featgen_procs(
+            reads, source, args.window_size, args.feat_gen_procs, handle,
+            tensorized=False,
+        )
+    elif args.feat_gen_threads > 1:
+        _parallel_featgen(
+            reads, source, args.window_size, args.feat_gen_threads, handle,
+            tensorized=False,
+        )
+    else:
+        for rid, alns in source:
+            feats = extract_read_features(rid, reads, alns, args.window_size)
+            write_window_features(args.output, reads, feats)
+            seen.add(rid)
+    print(f"Generated features for {len(seen)} reads.", file=sys.stderr)
     if stats.n_skipped:
         print(f"[herro-tpu] PAF ingest: {stats.summary()}", file=sys.stderr)
 
@@ -357,6 +388,7 @@ def cmd_inference(args) -> None:
         resume=args.resume,
         timers=timers,
         pipeline_depth=args.pipeline_depth,
+        feat_procs=args.feat_gen_procs,
     )
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -209,6 +209,7 @@ def run_correction(
     timers: StageTimers | None = None,
     pipeline_depth: int = 3,
     counting_output_path: str | None = None,
+    feat_procs: int = 0,
 ) -> int:
     """Correct every read of ``aln_source``; returns #reads written.
 
@@ -325,7 +326,15 @@ def run_correction(
         (rid, alns) for rid, alns in aln_source if rid not in skip
     )
     try:
-        if feat_threads <= 1:
+        if feat_procs > 1:
+            # GIL-free worker processes over the fork-shared read arenas
+            # (reference: -t featgen threads per device, src/lib.rs:159-187).
+            from .procpool import parallel_featgen_procs
+
+            parallel_featgen_procs(
+                reads, source, window_size, feat_procs, handle_window, timers
+            )
+        elif feat_threads <= 1:
             for rid, alns in source:
                 t0 = _time.perf_counter()
                 feats = extract_read_features(rid, reads, alns, window_size)
@@ -360,6 +369,7 @@ def _parallel_featgen(
     n_threads: int,
     handle_window,
     timers: StageTimers | None = None,
+    tensorized: bool = True,
 ) -> None:
     """Feature workers on threads (numpy releases the GIL on bulk ops);
     window handling stays on the consumer thread so batching/consensus state
@@ -386,7 +396,7 @@ def _parallel_featgen(
             try:
                 t0 = _time.perf_counter()
                 feats = extract_read_features(rid, reads, alns, window_size)
-                wts = [tensorize(wf) for wf in feats]
+                wts = [tensorize(wf) for wf in feats] if tensorized else feats
                 if timers is not None:
                     dt = _time.perf_counter() - t0
                     with t_lock:
