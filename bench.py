@@ -1,19 +1,32 @@
-"""Benchmark: corrected windows/s through the flagship correction step.
+"""Benchmark: corrected windows/s, end-to-end and device-only.
 
-Runs the full fused device step (qual normalisation + transformer forward +
-supported-column argmax + counting-rule consensus) on production-shaped
-batches (W=4096 windows, 31 pileup rows, ~2.5% supported columns) and reports
-throughput.
+Headline (``value``): END-TO-END corrected windows/s/chip on a simulated
+~30x R10-profile dataset — fastq bytes in, stitched corrected FASTA out,
+through the production engine (featgen -> bucketed batching -> fused device
+step -> consensus stitch). ``vs_baseline`` compares against the reference's
+demo figure measured the same way: the HERRO demo corrects the HG002 chr19
+10-12Mb ~40x subset in ~10 min on one V100-32GB (demo/README.txt:6),
+~20k windows of 4096bp -> ~33 windows/s end-to-end per device.
 
-``vs_baseline`` compares against the reference's demo-derived figure: the
-HERRO demo corrects the HG002 chr19 10-12Mb ~40x subset in ~10 min on one
-V100-32GB (demo/README.txt:6) producing ~80MB of corrected reads — roughly
-20k windows of 4096bp, i.e. ~33 windows/s end-to-end per device.
+Extra fields in the same JSON line:
+
+* ``chip_windows_per_s`` / ``chip_windows_per_s_l9216`` — pure on-chip
+  compute of the fused step (B=64 L=4608 / B=32 L=9216), measured by
+  chaining iterations *inside* one jit so the dev harness' host<->device
+  tunnel (~24 ms RTT, ~90 MB/s up) cannot tax it. This is the number a
+  production (PCIe-attached) TPU host engine converges to.
+* ``device_windows_per_s`` — the enqueue→fetch cycle through the tunnel
+  (pipelined dispatch, full host fetches): the per-batch ceiling this dev
+  harness imposes on the engine.
+* ``e2e_heavy_windows_per_s`` — end-to-end at a ~90x heavy-coverage
+  profile (featgen-bound).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -21,7 +34,7 @@ import numpy as np
 V100_DEMO_WINDOWS_PER_S = 33.0
 
 
-def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
+def _device_only(batch_size: int, L: int, S: int, iters: int) -> float:
     import jax
 
     from herro_tpu.models.model import R10_CONFIG, init_params
@@ -47,14 +60,12 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
         # force a real device-to-host fetch of every output.
         return [np.asarray(o) for o in out]
 
-    # compile + warmup
-    for b in batches:
+    for b in batches:  # compile + warmup
         fetch(step(params, *b))
 
     # Pipelined dispatch, like the production engine (pipeline/engine.py):
-    # keep `depth` batches in flight so the ~40ms tunnel round-trip and the
-    # host unpack overlap with device compute; every output is still fully
-    # fetched to host memory.
+    # keep `depth` batches in flight so the tunnel round-trip and the host
+    # unpack overlap with device compute.
     from collections import deque
 
     depth = 6
@@ -67,15 +78,145 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
     while inflight:
         fetch(inflight.popleft())
     dt = time.perf_counter() - t0
+    return batch_size * iters / dt
 
-    windows_per_s = batch_size * iters / dt
+
+def _chip_only(batch_size: int, L: int, S: int, n: int = 10) -> float:
+    """On-chip windows/s of the fused step: n data-dependent iterations
+    chained inside one jit, one dispatch, one (tiny) fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from herro_tpu.models.model import R10_CONFIG, init_params
+    from herro_tpu.pipeline.infer import make_correct_step
+    from __graft_entry__ import _example_batch
+
+    cfg = R10_CONFIG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    step = make_correct_step(cfg)
+
+    def chained(params, tok, quals, sidx, smask, n_alns):
+        def body(i, t):
+            _info, _classes, dec = step(params, t, quals, sidx, smask, n_alns)
+            # fold the decisions back into the tokens so every iteration is
+            # distinct, fully-executed work
+            return t.at[:, :, 0].set(dec | (t[:, :, 0] & 0xF0))
+        return jax.lax.fori_loop(0, n, body, tok)
+
+    f = jax.jit(chained)
+    # two distinct input sets: the dev harness' remote executor caches
+    # *identical* repeated dispatches, so warm on one and time on the other
+    sets = []
+    for seed in (3, 4):
+        arrs = _example_batch(batch_size, L, S, seed=seed)
+        sets.append([jax.device_put(jnp.asarray(x)) for x in arrs])
+    np.asarray(f(params, *sets[0]))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(f(params, *sets[1]))
+    dt = (time.perf_counter() - t0) / n
+    return batch_size / dt
+
+
+def _e2e(
+    n_reads: int,
+    genome_len: int,
+    ins_rate: float,
+    batch_size: int = 32,
+    window_size: int = 4096,
+    feat_procs: int = 0,
+    seed: int = 97,
+) -> tuple[float, int]:
+    """(windows/s, n_windows) through the full pipeline: PAF parse ->
+    featgen -> device -> stitched FASTA on disk. Timing excludes only the
+    dataset simulation itself (stands in for the sequencer + minimap2)."""
+    from herro_tpu.io.fastx import load_reads
+    from herro_tpu.models.checkpoint import load_model
+    from herro_tpu.overlaps.paf import parse_paf
+    from herro_tpu.pipeline.batching import BucketSpec
+    from herro_tpu.pipeline.engine import StageTimers, run_correction
+    from herro_tpu.pipeline.infer import CorrectionRunner
+    from herro_tpu.training.simulate import paf_rows, simulate
+
+    ds = simulate(
+        genome_len=genome_len,
+        n_reads=n_reads,
+        read_len=(3 * window_size, 8 * window_size),
+        sub_rate=0.02,
+        ins_rate=ins_rate,
+        del_rate=0.02,
+        het_rate=0.005,
+        seed=seed,
+    )
+    rows = paf_rows(ds, min_overlap=window_size)
+    ckpt = os.path.join(os.path.dirname(__file__), "resources", "model_r10_sim")
+    cfg, params = load_model(ckpt)
+    runner = CorrectionRunner(cfg, params)
+
+    # the production bucket ladder: padding waste costs real bytes on the
+    # host->device link, which is the limiter on this dev harness' tunnel
+    spec = BucketSpec()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fastq = os.path.join(tmp, "reads.fastq")
+        ds.write_fastq(fastq)
+        reads = load_reads(fastq, min_length=window_size)
+        grouped = parse_paf(rows, reads.name_to_id)
+
+        # warmup pass over a subset: triggers the jit compiles for the
+        # bucket shapes so the timed run measures the steady state
+        warm = dict(list(grouped.items())[: max(6, len(grouped) // 4)])
+        run_correction(
+            reads, iter(warm.items()), runner,
+            os.path.join(tmp, "warm.fasta"), window_size, batch_size,
+            bucket_spec=spec, feat_procs=feat_procs,
+        )
+
+        t0 = time.perf_counter()
+        n_windows = sum(
+            -(-reads.length(rid) // window_size) for rid in grouped
+        )
+        timers = StageTimers()
+        run_correction(
+            reads,
+            iter(grouped.items()),
+            runner,
+            os.path.join(tmp, "corrected.fasta"),
+            window_size,
+            batch_size,
+            bucket_spec=spec,
+            feat_procs=feat_procs,
+            timers=timers,
+        )
+        dt = time.perf_counter() - t0
+    return n_windows / dt, n_windows
+
+
+def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
+    n_cores = os.cpu_count() or 1
+    feat_procs = min(4, n_cores) if n_cores > 1 else 0
+
+    # end-to-end at ~30x (the headline) and ~90x coverage
+    e2e_30x, _ = _e2e(n_reads=200, genome_len=150_000, ins_rate=0.02,
+                      feat_procs=feat_procs)
+    e2e_90x, _ = _e2e(n_reads=264, genome_len=66_000, ins_rate=0.02,
+                      feat_procs=feat_procs)
+
+    chip = _chip_only(batch_size, L, S)
+    chip_prod = _chip_only(32, 9216, 256)
+    dev = _device_only(batch_size, L, S, iters)
+
     print(
         json.dumps(
             {
-                "metric": "corrected_windows_per_s_per_chip",
-                "value": round(windows_per_s, 2),
+                "metric": "e2e_corrected_windows_per_s_per_chip",
+                "value": round(e2e_30x, 2),
                 "unit": "windows/s",
-                "vs_baseline": round(windows_per_s / V100_DEMO_WINDOWS_PER_S, 2),
+                "vs_baseline": round(e2e_30x / V100_DEMO_WINDOWS_PER_S, 2),
+                "e2e_heavy_windows_per_s": round(e2e_90x, 2),
+                "chip_windows_per_s": round(chip, 2),
+                "chip_windows_per_s_l9216": round(chip_prod, 2),
+                "device_windows_per_s": round(dev, 2),
+                "feat_procs": feat_procs,
             }
         )
     )

@@ -72,13 +72,24 @@ R9_CONFIG = ModelConfig(d_ff=1536, local_window=512)
 CONFIGS = {"tiny": TINY_CONFIG, "r10": R10_CONFIG, "r9": R9_CONFIG}
 
 
-def _rope(x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
-    """Rotary position embedding over the last dim of [B, L, H, Dh]."""
-    d_half = x.shape[-1] // 2
+def _rope_tables(
+    positions: jnp.ndarray, d_half: int, dtype
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) [B, L, 1, d_half] for :func:`_rope`. Computed once per
+    forward and shared by every layer — the per-layer recompute was ~300M
+    transcendentals per production batch."""
     freq = 1.0 / (10000.0 ** (jnp.arange(d_half, dtype=jnp.float32) / d_half))
     angles = positions[..., None].astype(jnp.float32) * freq  # [B, L, d_half]
-    cos = jnp.cos(angles)[:, :, None, :].astype(x.dtype)
-    sin = jnp.sin(angles)[:, :, None, :].astype(x.dtype)
+    return (
+        jnp.cos(angles)[:, :, None, :].astype(dtype),
+        jnp.sin(angles)[:, :, None, :].astype(dtype),
+    )
+
+
+def _rope(x: jnp.ndarray, rope: tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    """Rotary position embedding over the last dim of [B, L, H, Dh]."""
+    cos, sin = rope
+    d_half = x.shape[-1] // 2
     x1, x2 = x[..., :d_half], x[..., d_half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
@@ -87,7 +98,7 @@ class Attention(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, positions: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, rope):
         from ..ops.attention import attention as attn_op
 
         cfg = self.cfg
@@ -97,8 +108,8 @@ class Attention(nn.Module):
             (3, h, dh), axis=-1, dtype=cfg.compute_dtype, name="qkv"
         )(x)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = _rope(q, positions)
-        k = _rope(k, positions)
+        q = _rope(q, rope)
+        k = _rope(k, rope)
 
         # [B, L, H, D] -> [B, H, L, D] for the kernels
         out = attn_op(
@@ -117,10 +128,10 @@ class Block(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, lengths, positions):
+    def __call__(self, x, lengths, rope):
         cfg = self.cfg
         y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln1")(x)
-        x = x + Attention(cfg, name="attn")(y, lengths, positions)
+        x = x + Attention(cfg, name="attn")(y, lengths, rope)
         y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln2")(x)
         y = nn.Dense(cfg.d_ff, dtype=cfg.compute_dtype, name="ff1")(y)
         y = nn.gelu(y)
@@ -159,12 +170,16 @@ class CorrectionModel(nn.Module):
         # padding is always a suffix, so a per-example length suffices.
         mask = bases[:, :, 0] != TOKEN_PAD
         lengths = mask.astype(jnp.int32).sum(axis=1)
-        # Positions count real columns so padding never shifts phases.
+        # Positions count real columns so padding never shifts phases; the
+        # rotary tables are computed once here and shared by all layers.
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        rope = _rope_tables(
+            positions, cfg.d_model // cfg.n_heads // 2, cfg.compute_dtype
+        )
 
         block_cls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.n_layers):
-            x = block_cls(cfg, name=f"block_{i}")(x, lengths, positions)
+            x = block_cls(cfg, name=f"block_{i}")(x, lengths, rope)
         x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln_f")(x)
 
         # Gather supported columns: [B, S, d]

@@ -88,15 +88,18 @@ def _flash_kernel(
     m = jnp.full((blk_q,), NEG_INF, dtype=jnp.float32)
     l = jnp.zeros((blk_q,), dtype=jnp.float32)
 
+    # Padding is a suffix, so K blocks past the valid length never
+    # contribute — clamp the loop (buckets can pad L by ~10%).
+    n_kb_valid = jnp.minimum((length + blk_k - 1) // blk_k, n_kb)
     if local_window is not None:
         # Only K blocks intersecting the band contribute.
         lo = jnp.maximum((qi * blk_q - local_window) // blk_k, 0)
         hi = jnp.minimum(
-            ((qi + 1) * blk_q - 1 + local_window) // blk_k + 1, n_kb
+            ((qi + 1) * blk_q - 1 + local_window) // blk_k + 1, n_kb_valid
         )
         acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc, m, l))
     else:
-        acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc, m, l))
+        acc, m, l = jax.lax.fori_loop(0, n_kb_valid, body, (acc, m, l))
 
     out = acc / jnp.maximum(l, 1e-30)[:, None]
     o_ref[0, 0] = out.astype(o_ref.dtype)

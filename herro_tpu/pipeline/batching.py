@@ -87,9 +87,16 @@ def tensorize(wf: WindowFeatures) -> WindowTensors:
 
 @dataclass(frozen=True)
 class BucketSpec:
-    """Ladder of static shapes for the jitted step."""
+    """Ladder of static shapes for the jitted step.
 
-    lengths: tuple[int, ...] = (1024, 2048, 3072, 4096, 5120, 6144, 8192)
+    The top rungs are first-class production widths: a W=4096 window plus
+    its reserved insertion columns runs ~7-10k pileup columns at realistic
+    coverage/error profiles (R10 ~9k, R9 ~10.2k), so those shapes must hit a
+    pre-compiled program, not the ad-hoc fallback."""
+
+    lengths: tuple[int, ...] = (
+        1024, 2048, 3072, 4096, 5120, 6144, 8192, 9216, 10240,
+    )
     # supported-count ladder, as fractions of the L bucket
     sup_fractions: tuple[float, ...] = (0.125, 0.375, 1.0)
 
@@ -108,11 +115,48 @@ class BucketSpec:
         return L, L
 
 
+def pack_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Pack 4-bit vocab ids pairwise: ``[..., R]`` uint8 -> ``[..., (R+1)//2]``.
+
+    The vocab is 12 ids (< 16), and host->device bytes are the throughput
+    limit of the inference engine on bandwidth-constrained links (and half
+    of H2D traffic everywhere): tokens ship as nibbles and unpack on device
+    (``unpack_tokens_jnp``) in the fused step.
+    """
+    r = tokens.shape[-1]
+    if r % 2:
+        pad = np.full(tokens.shape[:-1] + (1,), TOKEN_PAD, dtype=np.uint8)
+        tokens = np.concatenate([tokens, pad], axis=-1)
+    return (tokens[..., 0::2] | (tokens[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_tokens_np(packed: np.ndarray, n_rows: int) -> np.ndarray:
+    """numpy twin of :func:`unpack_tokens_jnp` (host-side consumers)."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    full = np.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (2 * packed.shape[-1],)
+    )
+    return full[..., :n_rows].astype(np.uint8)
+
+
+def unpack_tokens_jnp(packed, n_rows: int):
+    """jnp twin: ``[..., P]`` packed nibbles -> ``[..., n_rows]`` int32."""
+    import jax.numpy as jnp
+
+    lo = packed & 0xF
+    hi = packed >> 4
+    full = jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (2 * packed.shape[-1],)
+    )
+    return full[..., :n_rows].astype(jnp.int32)
+
+
 @dataclass
 class Batch:
-    """One padded, static-shape batch."""
+    """One padded, static-shape batch. Token nibbles ship packed."""
 
-    tokens: np.ndarray  # uint8 [B, L, 31] vocab ids
+    tokens_packed: np.ndarray  # uint8 [B, L, 16] packed 4-bit vocab ids
     quals: np.ndarray  # uint8 [B, L, 31]
     support_idx: np.ndarray  # int32 [B, S]
     support_mask: np.ndarray  # bool [B, S]
@@ -121,7 +165,7 @@ class Batch:
 
     @property
     def shape_key(self) -> tuple[int, int, int]:
-        return self.tokens.shape[:2] + (self.support_idx.shape[1],)
+        return self.tokens_packed.shape[:2] + (self.support_idx.shape[1],)
 
 
 def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Batch:
@@ -138,7 +182,9 @@ def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Ba
         support_idx[i, :s] = w.support_flat
         support_mask[i, :s] = True
         n_alns[i] = w.n_alns
-    return Batch(tokens, quals, support_idx, support_mask, n_alns, windows)
+    return Batch(
+        pack_tokens(tokens), quals, support_idx, support_mask, n_alns, windows
+    )
 
 
 class BucketBatcher:

@@ -53,9 +53,16 @@ class WindowResult:
 
 
 def make_correct_step(cfg: ModelConfig):
+    """The fused step takes *packed* token nibbles ([B, L, 16], see
+    batching.pack_tokens) — host->device bytes are the engine's throughput
+    limit on bandwidth-constrained links — and unpacks on device."""
+    from ..constants import N_ROWS
+    from .batching import unpack_tokens_jnp
+
     model = CorrectionModel(cfg)
 
-    def step(params, tokens, quals_u8, support_idx, support_mask, n_alns):
+    def step(params, tokens_packed, quals_u8, support_idx, support_mask, n_alns):
+        tokens = unpack_tokens_jnp(tokens_packed, N_ROWS)
         quals = (
             QUAL_SCALE * quals_u8.astype(jnp.float32) - QUAL_OFFSET
         )
@@ -117,7 +124,7 @@ class CorrectionRunner:
         from its dedicated inference thread, src/lib.rs:189-196)."""
         out = self._step(
             self.params,
-            batch.tokens,
+            batch.tokens_packed,
             batch.quals,
             batch.support_idx,
             batch.support_mask,

@@ -193,7 +193,8 @@ def batch_iterator(
 # windows to the worst case.
 TRAIN_BUCKETS: tuple[tuple[int, int], ...] = (
     (5120, 768),
-    (8192, 1280),
+    (8192, 1024),
+    (9216, 1152),
     (10240, 1536),
 )
 

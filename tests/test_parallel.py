@@ -82,6 +82,10 @@ def test_tp_train_step(setup):
     mesh = make_mesh_2d(4, 2)
     trainer = Trainer(CFG, params, lr=1e-3, total_steps=4, mesh=mesh)
     tokens, quals, sidx, smask, _ = batch
+    # the train step consumes unpacked tokens (inference ships nibbles)
+    from herro_tpu.pipeline.batching import unpack_tokens_np
+
+    tokens = unpack_tokens_np(tokens, 31)
     rng = np.random.default_rng(0)
     tb = TrainBatch(
         tokens=tokens,

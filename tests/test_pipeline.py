@@ -37,9 +37,10 @@ def test_collate_padding():
         supported=np.empty(2, dtype=[("pos", np.uint16), ("ins", np.uint8)]),
     )
     b = collate([w], L=16, S=4, batch_size=2)
-    assert b.tokens.shape == (2, 16, 31)
-    assert (b.tokens[0, 10:] == TOKEN_PAD).all()
-    assert (b.tokens[1] == TOKEN_PAD).all()
+    packed_pad = TOKEN_PAD | (TOKEN_PAD << 4)
+    assert b.tokens_packed.shape == (2, 16, 16)
+    assert (b.tokens_packed[0, 10:] == packed_pad).all()
+    assert (b.tokens_packed[1] == packed_pad).all()
     assert (b.quals[0, 10:] == QUAL_PAD).all()
     assert b.support_mask[0].tolist() == [True, True, False, False]
     assert b.n_alns.tolist() == [3, 0]
@@ -107,3 +108,16 @@ def test_parallel_featgen_propagates_worker_errors():
         _parallel_featgen(
             BoomReads(), [(0, [])], 256, 2, lambda wt: None
         )
+
+
+def test_token_pack_roundtrip():
+    import jax
+
+    from herro_tpu.pipeline.batching import pack_tokens, unpack_tokens_jnp
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 12, size=(3, 20, 31)).astype(np.uint8)
+    packed = pack_tokens(tokens)
+    assert packed.shape == (3, 20, 16)
+    out = np.asarray(unpack_tokens_jnp(jax.numpy.asarray(packed), 31))
+    assert np.array_equal(out, tokens.astype(np.int32))
