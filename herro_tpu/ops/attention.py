@@ -176,6 +176,15 @@ def chunked_attention(
     local_window: int | None = None,
     blk_q: int = 512,
 ) -> jnp.ndarray:
+    """Pure-jnp blocked attention (differentiable, any backend).
+
+    With ``local_window`` only the static in-band K span per query block is
+    sliced and scored (O(L·window) instead of O(L²)). The scan body is
+    rematerialised: without it the vjp stacks every block's probability
+    matrix — f32 [n_blocks, B, H, blk_q, span], tens of GB at production
+    widths — which is what the backward of the flash kernel recomputes
+    through this function.
+    """
     B, H, L, D = q.shape
     blk_q = min(blk_q, L)
     if L % blk_q:
@@ -183,27 +192,36 @@ def chunked_attention(
     scale = 1.0 / math.sqrt(D)
     n_blocks = L // blk_q
 
-    k_pos = jnp.arange(L)
-    key_mask = k_pos[None, :] < lengths[:, None]  # [B, L]
+    # static K span per query block: the whole axis, or just the band
+    span = L if local_window is None else min(L, blk_q + 2 * local_window)
 
     qs = q.reshape(B, H, n_blocks, blk_q, D).transpose(2, 0, 1, 3, 4)
 
     def block(carry, inp):
         i, qb = inp  # qb: [B, H, BLK_Q, D]
+        k0 = 0
+        if local_window is not None:
+            k0 = jnp.clip(i * blk_q - local_window, 0, L - span)
+        kb = jax.lax.dynamic_slice(k, (0, 0, k0, 0), (B, H, span, D))
+        vb = jax.lax.dynamic_slice(v, (0, 0, k0, 0), (B, H, span, D))
+        k_pos = k0 + jnp.arange(span)
+
         s = jnp.einsum(
-            "bhqd,bhkd->bhqk", qb.astype(jnp.float32) * scale, k.astype(jnp.float32)
+            "bhqd,bhkd->bhqk", qb.astype(jnp.float32) * scale, kb.astype(jnp.float32)
         )
-        mask = key_mask[:, None, None, :]
+        mask = (k_pos[None, :] < lengths[:, None])[:, None, None, :]
         if local_window is not None:
             q_pos = i * blk_q + jnp.arange(blk_q)
             band = jnp.abs(q_pos[:, None] - k_pos[None, :]) <= local_window
             mask = mask & band[None, None, :, :]
         s = jnp.where(mask, s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vb.astype(jnp.float32))
         return carry, o.astype(q.dtype)
 
-    _, outs = jax.lax.scan(block, None, (jnp.arange(n_blocks), qs))
+    _, outs = jax.lax.scan(
+        jax.checkpoint(block), None, (jnp.arange(n_blocks), qs)
+    )
     return outs.transpose(1, 2, 0, 3, 4).reshape(B, H, L, D)
 
 
