@@ -57,3 +57,25 @@ def test_chunked_gradients_match_naive():
     gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gc, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_chunked_banded_gradients_match_naive():
+    """The banded (dynamic-sliced, checkpointed) backward must match the
+    dense naive gradients. The loss reads only valid query rows — outputs at
+    fully-padding-masked rows are unspecified (softmax over an all-masked
+    band) and never consumed downstream."""
+    q, k, v, lengths = _qkv(3, L=256)
+    row_ok = (jnp.arange(256)[None, :] < lengths[:, None])[:, None, :, None]
+
+    def loss_c(q, k, v):
+        out = chunked_attention(q, k, v, lengths, 32, blk_q=64)
+        return jnp.sum(jnp.where(row_ok, out, 0.0) ** 2)
+
+    def loss_n(q, k, v):
+        out = naive_attention(q, k, v, lengths, 32)
+        return jnp.sum(jnp.where(row_ok, out, 0.0) ** 2)
+
+    gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gc, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
