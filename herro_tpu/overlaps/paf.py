@@ -45,10 +45,6 @@ class ParseStats:
     def n_skipped(self) -> int:
         return self.n_malformed + self.n_no_cigar + self.n_bad_cigar
 
-    def merge(self, other: "ParseStats") -> None:
-        for f in self.__dataclass_fields__:
-            setattr(self, f, getattr(self, f) + getattr(other, f))
-
     def summary(self) -> str:
         return (
             f"{self.n_kept}/{self.n_rows} rows kept"
