@@ -143,3 +143,45 @@ def test_features_subcommand_procs(dataset, tmp_path, monkeypatch):
         a = (tmp_path / "serial" / rel).read_bytes()
         b = (tmp_path / "procs" / rel).read_bytes()
         assert a == b, rel
+
+
+def test_features_subcommand_threads(dataset, tmp_path):
+    """-t 2 threads on the features subcommand produces the identical npy
+    tree as the serial run (the tensorized=False threaded path)."""
+    import subprocess
+    import sys
+
+    ds = simulate(genome_len=9000, n_reads=16, read_len=(1500, 3000), seed=33)
+    fastq = tmp_path / "r.fastq"
+    ds.write_fastq(str(fastq))
+    from herro_tpu.overlaps.batches import BatchWriter
+
+    os.makedirs(tmp_path / "batches", exist_ok=True)
+    w = BatchWriter(str(tmp_path / "batches"), 0, [r.name for r in ds.reads])
+    for line in paf_rows(ds, min_overlap=W):
+        w.write(line)
+    w.close()
+
+    env = dict(os.environ, HERRO_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    for name, extra in (("tser", []), ("tthr", ["-t", "2"])):
+        subprocess.run(
+            [
+                sys.executable, "-m", "herro_tpu.cli", "features",
+                "--read-alns", str(tmp_path / "batches"),
+                "-w", str(W), str(fastq), str(tmp_path / name), *extra,
+            ],
+            check=True, env=env, timeout=300,
+        )
+    a = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_path / "tser")
+        for r, _, fs in os.walk(tmp_path / "tser") for f in fs
+    )
+    b = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_path / "tthr")
+        for r, _, fs in os.walk(tmp_path / "tthr") for f in fs
+    )
+    assert a == b and a
+    for rel in a:
+        assert (tmp_path / "tser" / rel).read_bytes() == (
+            tmp_path / "tthr" / rel
+        ).read_bytes(), rel
