@@ -226,6 +226,8 @@ def run_correction(
 
     import collections
 
+    from concurrent.futures import ThreadPoolExecutor
+
     spec = bucket_spec or BucketSpec()
     batcher = BucketBatcher(spec, batch_size)
     n_written = 0
@@ -233,6 +235,10 @@ def run_correction(
     timers = timers if timers is not None else StageTimers()
     depth = max(1, pipeline_depth)
     pending: collections.deque = collections.deque()
+    # Dispatch (which includes the host->device batch upload) runs on a
+    # dedicated thread so transfers overlap with featgen — on slow links the
+    # synchronous upload was a third of end-to-end wall time.
+    uploader = ThreadPoolExecutor(max_workers=1)
 
     skip: set[int] = set()
     if resume:
@@ -310,13 +316,13 @@ def run_correction(
                 submit(batch)
 
     def submit(batch) -> None:
-        pending.append(runner.dispatch(batch))
+        pending.append(uploader.submit(runner.dispatch, batch))
         if len(pending) >= depth:
             drain_one()
 
     def drain_one() -> None:
         t0 = _time.perf_counter()
-        results = runner.finalize(pending.popleft())
+        results = runner.finalize(pending.popleft().result())
         timers.device_s += _time.perf_counter() - t0
         timers.n_batches += 1
         for res in results:
@@ -356,6 +362,7 @@ def run_correction(
         # closing flushes them so the run is resumable. In-flight device
         # batches are abandoned (their reads re-run on resume).
         pending.clear()
+        uploader.shutdown(wait=False, cancel_futures=True)
         out.close()
         if cnt_out is not None:
             cnt_out.close()
