@@ -208,7 +208,10 @@ def _e2e(
 
 
 def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
-    n_cores = os.cpu_count() or 1
+    try:  # cgroup-aware: cpu_count() reports the host, not the quota
+        n_cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        n_cores = os.cpu_count() or 1
     feat_procs = min(4, n_cores) if n_cores > 1 else 0
 
     # end-to-end at ~30x (the headline) and ~90x coverage
