@@ -284,11 +284,21 @@ def cmd_features(args) -> None:
         reads, args.reads, mode, args.feat_gen_threads, stats=stats
     )
 
-    seen: set[int] = set()
+    # Count reads at the (rid, alns) source level so the summary is
+    # identical across the serial / threaded / process paths (zero-window
+    # reads included everywhere).
+    n_reads = 0
+
+    def counted(src):
+        nonlocal n_reads
+        for item in src:
+            n_reads += 1
+            yield item
+
+    source = counted(source)
 
     def handle(wf) -> None:
         write_window_features(args.output, reads, [wf])
-        seen.add(wf.rid)
 
     # Parallel featgen (reference: -t threads, src/lib.rs:84-104): worker
     # processes fork-share the read arenas; the npy writes stay on this
@@ -309,8 +319,7 @@ def cmd_features(args) -> None:
         for rid, alns in source:
             feats = extract_read_features(rid, reads, alns, args.window_size)
             write_window_features(args.output, reads, feats)
-            seen.add(rid)
-    print(f"Generated features for {len(seen)} reads.", file=sys.stderr)
+    print(f"Generated features for {n_reads} reads.", file=sys.stderr)
     if stats.n_skipped:
         print(f"[herro-tpu] PAF ingest: {stats.summary()}", file=sys.stderr)
 
@@ -324,12 +333,23 @@ def cmd_inference(args) -> None:
     from .pipeline.engine import AlnMode, alignment_stream, run_correction
     from .pipeline.infer import CorrectionRunner
 
+    core, neighbour = read_cluster(args.cluster)
+    reads = _load(args, core, neighbour)
+
+    # Fork the featgen worker pool BEFORE the first JAX use: forking a
+    # process with a live device client (gRPC threads, held locks) can hang
+    # the children. The arenas are inherited zero-copy; everything below
+    # (distributed init, model load, mesh) happens only in the parent.
+    featgen_pool = None
+    if args.feat_gen_procs > 1:
+        from .pipeline.procpool import FeatgenPool
+
+        featgen_pool = FeatgenPool(reads, args.window_size, args.feat_gen_procs)
+
     if args.num_processes:
         init_distributed(
             args.coordinator or None, args.num_processes, args.process_id
         )
-    core, neighbour = read_cluster(args.cluster)
-    reads = _load(args, core, neighbour)
 
     cfg, params = load_or_init(args.model)
     n_dev = _parse_devices(args.devices, jax)
@@ -388,8 +408,10 @@ def cmd_inference(args) -> None:
         resume=args.resume,
         timers=timers,
         pipeline_depth=args.pipeline_depth,
-        feat_procs=args.feat_gen_procs,
+        featgen_pool=featgen_pool,
     )
+    if featgen_pool is not None:
+        featgen_pool.close()
     if args.profile_dir:
         jax.profiler.stop_trace()
     progress.finish()

@@ -119,6 +119,12 @@ def parse_paf(
         if key in processed:
             st.n_filtered += 1
             continue
+        # The pair is consumed by its FIRST row even when that row turns out
+        # malformed below: minimap2 orders rows best-first, so accepting a
+        # later (inferior) row for the same pair would silently deviate from
+        # the reference's first-row-per-pair rule (src/overlaps.rs:181-185) —
+        # skip-and-count drops the pair entirely instead.
+        processed.add(key)
 
         # the cg:Z: tag is normally the last field, but don't assume
         cigar_field = None
@@ -154,7 +160,6 @@ def parse_paf(
             cigar=cigar,
         )
 
-        processed.add(key)
         st.n_kept += 1
         tid_to_alns.setdefault(tid, []).append(aln)
 

@@ -210,6 +210,7 @@ def run_correction(
     pipeline_depth: int = 3,
     counting_output_path: str | None = None,
     feat_procs: int = 0,
+    featgen_pool=None,
 ) -> int:
     """Correct every read of ``aln_source``; returns #reads written.
 
@@ -221,12 +222,33 @@ def run_correction(
     decode of the *same* features to a second FASTA (requires a runner with
     ``collect_counting=True``) — the matched-seed baseline for quantifying
     the model's contribution without a second featgen pass.
+
+    ``featgen_pool`` is an already-forked :class:`~.procpool.FeatgenPool`
+    (preferred over ``feat_procs``: the CLI forks it before JAX initialises).
     """
     import time as _time
 
     import collections
 
     from concurrent.futures import ThreadPoolExecutor
+
+    if counting_output_path is not None:
+        # Guard both misuse modes up front: without collect_counting the
+        # "counting baseline" file would silently receive the model decode
+        # (corrupting any model_gain comparison), and with --resume the main
+        # output appends while this one restarts from scratch, desyncing the
+        # two FASTAs.
+        if not runner.collect_counting:
+            raise ValueError(
+                "counting_output_path requires a CorrectionRunner built "
+                "with collect_counting=True"
+            )
+        if resume:
+            raise ValueError(
+                "--resume cannot be combined with a counting output: the "
+                "main FASTA would resume (append) while the counting FASTA "
+                "restarts, desynchronizing the two decodes"
+            )
 
     spec = bucket_spec or BucketSpec()
     batcher = BucketBatcher(spec, batch_size)
@@ -282,15 +304,15 @@ def run_correction(
 
     def add_result(res: WindowResult) -> None:
         if cnt_acc is not None:
+            # collect_counting is guaranteed by the guard above, so every
+            # window carries its counting decode.
             cnt_acc.add(
                 WindowResult(
                     rid=res.rid,
                     wid=res.wid,
                     n_alns=res.n_alns,
                     n_total_wins=res.n_total_wins,
-                    decisions=(
-                        res.counting if res.counting is not None else res.decisions
-                    ),
+                    decisions=res.counting,
                 )
             )
         acc.add(res)
@@ -332,7 +354,9 @@ def run_correction(
         (rid, alns) for rid, alns in aln_source if rid not in skip
     )
     try:
-        if feat_procs > 1:
+        if featgen_pool is not None:
+            featgen_pool.run(source, handle_window, timers=timers)
+        elif feat_procs > 1:
             # GIL-free worker processes over the fork-shared read arenas
             # (reference: -t featgen threads per device, src/lib.rs:159-187).
             from .procpool import parallel_featgen_procs

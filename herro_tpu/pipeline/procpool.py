@@ -9,11 +9,16 @@ read set's 2-bit sequence arena and qual arena are inherited **zero-copy
 through fork** (copy-on-write pages that are never written), which is
 exactly what the single-arena layout was designed for (io/seqstore.py).
 
+Fork ordering: forking a process that already initialised JAX (live gRPC /
+device-client threads) can leave locks held in the child and hang. The CLI
+therefore constructs :class:`FeatgenPool` *before* the model/device bridge
+comes up; the pool forks its workers eagerly at construction and is reused
+across runs (warmup + timed, resume passes, ...). Workers never touch JAX.
+
 Dataflow mirrors the reference's featgen fan-in: a bounded task queue of
 (rid, alignments) items, N workers running extract_read_features (+
 tensorize), and one bounded result queue draining into the consumer thread,
-which keeps batching/consensus state lock-free. Workers never touch JAX —
-the device lives in the parent only.
+which keeps batching/consensus state lock-free.
 """
 
 from __future__ import annotations
@@ -34,7 +39,6 @@ from ..io.fastx import ReadSet
 # arenas without copying or pickling them.
 _WORKER_STATE: dict = {}
 
-
 def _worker_loop(task_q, result_q, window_size: int, do_tensorize: bool):
     import time as _time
 
@@ -45,9 +49,11 @@ def _worker_loop(task_q, result_q, window_size: int, do_tensorize: bool):
     while True:
         item = task_q.get()
         if item is None:
-            result_q.put(None)
             return
         rid, alns = item
+        # Exactly ONE result message per task — the consumer's accounting
+        # (results received == tasks fed) is what ends a run, so there is no
+        # end-of-run sentinel for a racing worker to steal.
         try:
             t0 = _time.perf_counter()
             feats = extract_read_features(rid, reads, alns, window_size)
@@ -55,13 +61,135 @@ def _worker_loop(task_q, result_q, window_size: int, do_tensorize: bool):
             dt = _time.perf_counter() - t0
         except BaseException:
             result_q.put(("error", rid, traceback.format_exc()))
-            result_q.put(None)
-            return
+            continue
         result_q.put((out, dt))
 
 
 def can_fork() -> bool:
     return "fork" in mp.get_all_start_methods()
+
+
+class FeatgenPool:
+    """A reusable pool of forked feature-generation workers.
+
+    Construct BEFORE the first JAX use (fork safety, see module docstring).
+    ``run()`` may be called repeatedly; ``close()`` (or the context manager)
+    terminates the workers.
+    """
+
+    def __init__(
+        self,
+        reads: ReadSet,
+        window_size: int,
+        n_procs: int,
+        tensorized: bool = True,
+    ):
+        assert can_fork(), "process featgen needs the fork start method (POSIX)"
+        ctx = mp.get_context("fork")
+        self.n_procs = n_procs
+        self._task_q = ctx.Queue(maxsize=4 * n_procs)
+        self._result_q = ctx.Queue(
+            maxsize=max(2 * INFER_CHANNEL_CAP_FACTOR * n_procs, 4)
+        )
+        _WORKER_STATE["reads"] = reads
+        self._workers = [
+            ctx.Process(
+                target=_worker_loop,
+                args=(self._task_q, self._result_q, window_size, tensorized),
+                daemon=True,
+            )
+            for _ in range(n_procs)
+        ]
+        for w in self._workers:
+            w.start()
+        _WORKER_STATE.clear()  # children hold their fork-time copy
+        self._closed = False
+
+    def run(
+        self,
+        aln_source: Iterable,
+        handle_window: Callable,
+        timers=None,
+    ) -> None:
+        """Fan (rid, alignments) items over the workers for one pass.
+
+        ``handle_window`` runs on the calling thread for every produced
+        window, so downstream batching/consensus state needs no locks.
+        """
+        assert not self._closed, "pool already closed"
+
+        fed = 0
+        feeder_done = threading.Event()
+
+        def feeder():
+            # Feeding can block on the bounded task queue; run it on a thread
+            # so the consumer below keeps draining results (no deadlock).
+            nonlocal fed
+            try:
+                for item in aln_source:
+                    self._task_q.put(item)
+                    fed += 1
+            finally:
+                feeder_done.set()
+
+        feeder_t = threading.Thread(target=feeder, daemon=True)
+        feeder_t.start()
+
+        received = 0
+        failure: tuple | None = None
+        while True:
+            # `fed` is only compared once the feeder finished, so it is final.
+            if feeder_done.is_set() and received == fed:
+                break
+            try:
+                # Poll with a timeout: a worker that dies without reaching
+                # its except handler (segfault in a native kernel, OOM-kill)
+                # never sends its task's result; detect the vanished process
+                # instead of hanging forever.
+                item = self._result_q.get(timeout=5.0)
+            except queue_mod.Empty:
+                dead = [w for w in self._workers if not w.is_alive()]
+                if dead:
+                    w = dead[0]
+                    self.close(terminate=True)
+                    raise RuntimeError(
+                        f"feature worker pid={w.pid} died "
+                        f"(exitcode {w.exitcode}) without reporting an error"
+                    )
+                continue
+            received += 1
+            if isinstance(item, tuple) and len(item) == 3 and item[0] == "error":
+                _, rid, tb = item
+                failure = (rid, tb)
+                break
+            out, dt = item
+            if timers is not None:
+                timers.featgen_s += dt
+            for w in out:
+                handle_window(w)
+        if failure is not None:
+            rid, tb = failure
+            self.close(terminate=True)
+            print(tb, file=sys.stderr)
+            raise RuntimeError(f"feature worker process failed on read {rid}")
+
+    def close(self, terminate: bool = False) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for w in self._workers:
+            if terminate:
+                w.terminate()
+            else:
+                self._task_q.put(None)
+        for w in self._workers:
+            w.join(timeout=30)
+
+    def __enter__(self) -> "FeatgenPool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close(terminate=exc[0] is not None)
 
 
 def parallel_featgen_procs(
@@ -73,68 +201,11 @@ def parallel_featgen_procs(
     timers=None,
     tensorized: bool = True,
 ) -> None:
-    """Fan (rid, alignments) items over ``n_procs`` forked feature workers.
+    """One-shot convenience wrapper: fork a pool, run, close.
 
-    ``handle_window`` runs on the calling thread for every produced window
-    (WindowTensors when ``tensorized``, WindowFeatures otherwise), so
-    downstream batching/consensus state needs no locks.
+    Prefer constructing :class:`FeatgenPool` before the first JAX use and
+    passing it to ``run_correction(featgen_pool=...)`` — this wrapper forks
+    at call time, which in the inference path is after device init.
     """
-    assert can_fork(), "process featgen needs the fork start method (POSIX)"
-    ctx = mp.get_context("fork")
-    task_q = ctx.Queue(maxsize=4 * n_procs)
-    result_q = ctx.Queue(
-        maxsize=max(2 * INFER_CHANNEL_CAP_FACTOR * n_procs, 4)
-    )
-
-    _WORKER_STATE["reads"] = reads
-    workers = [
-        ctx.Process(
-            target=_worker_loop,
-            args=(task_q, result_q, window_size, tensorized),
-            daemon=True,
-        )
-        for _ in range(n_procs)
-    ]
-    for w in workers:
-        w.start()
-    _WORKER_STATE.clear()  # children hold their fork-time copy
-
-    def feeder():
-        # Feeding can block on the bounded task queue; run it on a thread so
-        # the consumer below keeps draining results (no deadlock).
-        try:
-            for item in aln_source:
-                task_q.put(item)
-        finally:
-            for _ in workers:
-                task_q.put(None)
-
-    feeder_t = threading.Thread(target=feeder, daemon=True)
-    feeder_t.start()
-
-    done = 0
-    failure: tuple | None = None
-    try:
-        while done < len(workers):
-            item = result_q.get()
-            if item is None:
-                done += 1
-                continue
-            if isinstance(item, tuple) and len(item) == 3 and item[0] == "error":
-                _, rid, tb = item
-                failure = (rid, tb)
-                break
-            out, dt = item
-            if timers is not None:
-                timers.featgen_s += dt
-            for w in out:
-                handle_window(w)
-    finally:
-        for w in workers:
-            if failure is not None:
-                w.terminate()
-            w.join(timeout=30)
-    if failure is not None:
-        rid, tb = failure
-        print(tb, file=sys.stderr)
-        raise RuntimeError(f"feature worker process failed on read {rid}")
+    with FeatgenPool(reads, window_size, n_procs, tensorized=tensorized) as pool:
+        pool.run(aln_source, handle_window, timers=timers)

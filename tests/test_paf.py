@@ -90,19 +90,22 @@ def test_malformed_rows_skipped_and_counted():
     from herro_tpu.overlaps.paf import ParseStats
 
     good = _row(b"a", b"b")
+    # distinct (q, t) pairs per bad row: a skipped first row consumes its
+    # pair (see test_skipped_first_row_consumes_the_pair)
+    names = {**NAMES, b"d": 3, b"e": 4}
     bad = [
         _row(b"a", b"c")[:30],                      # truncated mid-field
-        b"a\tnotanint\t0\t50\t+\tc\t120\t10\t60\t40\t50\t60\tcg:Z:10M",
-        _row(b"a", b"c").replace(b"cg:Z:10M", b"xx:Z:10M"),  # tag missing
-        _row(b"a", b"c", cigar=b"10M5S10M"),        # unsupported S op
-        _row(b"a", b"c", cigar=b"MM10"),            # garbled CIGAR
-        _row(b"a", b"c", cigar=b"99999999999999M"), # overflowing run length
+        b"a\tnotanint\t0\t50\t+\td\t120\t10\t60\t40\t50\t60\tcg:Z:10M",
+        _row(b"a", b"e").replace(b"cg:Z:10M", b"xx:Z:10M"),  # tag missing
+        _row(b"b", b"a", cigar=b"10M5S10M"),        # unsupported S op
+        _row(b"b", b"c", cigar=b"MM10"),            # garbled CIGAR
+        _row(b"b", b"d", cigar=b"99999999999999M"), # overflowing run length
         b"\x00\xff\xfe garbage line",
         b"",
     ]
     stats = ParseStats()
     out = parse_paf([good] + bad + [_row(b"c", b"b", cigar=b"20M")],
-                    NAMES, stats=stats)
+                    names, stats=stats)
     # the two good rows survive, grouped under target b
     assert sorted(a.qid for a in out[1]) == [0, 2]
     assert stats.n_kept == 2
@@ -144,3 +147,18 @@ def test_cg_tag_found_among_other_tags():
     row = _row(b"a", b"b") + b"\tms:i:100\tAS:i:99"
     out = parse_paf([row], NAMES)
     assert len(out[1]) == 1 and len(out[1][0].cigar) == 1
+
+
+def test_skipped_first_row_consumes_the_pair():
+    # minimap2 orders rows best-first: when a pair's first row is skipped as
+    # malformed, a later (inferior) row for the same pair must NOT be
+    # accepted in its place — the pair is dropped entirely.
+    bad_first = _row(b"a", b"b", b"not_a_cigar")
+    rows = [bad_first, _row(b"a", b"b", b"20M")]
+    out = parse_paf(rows, NAMES)
+    assert out == {}
+    # an unknown-id or core-filtered row does not consume the pair (the
+    # reference never sees such rows as candidates either)
+    rows = [_row(b"zz", b"b"), _row(b"a", b"b", b"20M")]
+    out = parse_paf(rows, NAMES)
+    assert len(out[1]) == 1

@@ -185,3 +185,53 @@ def test_features_subcommand_threads(dataset, tmp_path):
         assert (tmp_path / "tser" / rel).read_bytes() == (
             tmp_path / "tthr" / rel
         ).read_bytes(), rel
+
+
+@pytest.mark.skipif(not can_fork(), reason="fork unavailable")
+def test_pool_reuse_across_runs(dataset):
+    """One FeatgenPool (forked before any device init) serves several runs —
+    the CLI reuses it for warmup + timed passes."""
+    from herro_tpu.pipeline.procpool import FeatgenPool
+
+    reads, grouped = dataset
+    serial = _collect_serial(reads, grouped)
+    with FeatgenPool(reads, W, 2) as pool:
+        for _ in range(3):
+            got = {}
+            pool.run(
+                iter(grouped.items()),
+                lambda wt: got.__setitem__((wt.rid, wt.wid), wt),
+            )
+            assert set(got) == set(serial)
+            for key, wt in got.items():
+                assert wt.tokens.tobytes() == serial[key].tokens.tobytes()
+
+
+@pytest.mark.skipif(not can_fork(), reason="fork unavailable")
+def test_pool_detects_vanished_worker(dataset):
+    """A worker killed without running its except handler (stand-in for a
+    segfault/OOM-kill) is detected instead of hanging the run forever."""
+    import os
+    import signal
+    import threading
+
+    from herro_tpu.pipeline.procpool import FeatgenPool
+
+    reads, grouped = dataset
+    pool = FeatgenPool(reads, W, 2)
+
+    def killer():
+        for w in pool._workers:
+            os.kill(w.pid, signal.SIGKILL)
+
+    threading.Timer(0.5, killer).start()
+
+    def slow_source():
+        yield from iter(grouped.items())
+        import time
+
+        time.sleep(2.0)  # keep the run alive past the kill
+        yield from iter(grouped.items())
+
+    with pytest.raises(RuntimeError, match="died"):
+        pool.run(slow_source(), lambda wt: None)

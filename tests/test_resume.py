@@ -86,3 +86,37 @@ def test_resume_after_midwrite_crash_matches_clean_run(tmp_path):
         return recs
 
     assert records(crashed) == records(clean)
+
+
+def test_resume_rejects_counting_output(tmp_path):
+    """--resume + a counting output would desync the two FASTAs (append vs
+    truncate); the engine rejects the combination up front. A runner without
+    collect_counting is rejected too (the baseline file would silently get
+    the model decode)."""
+    import pytest
+
+    from herro_tpu.models.checkpoint import load_or_init
+    from herro_tpu.pipeline.engine import run_correction
+    from herro_tpu.pipeline.infer import CorrectionRunner
+    from herro_tpu.io.fastx import load_reads
+    from herro_tpu.training.simulate import simulate
+
+    ds = simulate(genome_len=3000, n_reads=4, read_len=(800, 1200), seed=5)
+    fastq = tmp_path / "r.fastq"
+    ds.write_fastq(str(fastq))
+    reads = load_reads(str(fastq), min_length=512)
+    cfg, params = load_or_init("tiny")
+
+    runner = CorrectionRunner(cfg, params, collect_counting=True)
+    with pytest.raises(ValueError, match="resume"):
+        run_correction(
+            reads, iter([]), runner, str(tmp_path / "o.fa"), 512, 4,
+            resume=True, counting_output_path=str(tmp_path / "c.fa"),
+        )
+
+    runner2 = CorrectionRunner(cfg, params)
+    with pytest.raises(ValueError, match="collect_counting"):
+        run_correction(
+            reads, iter([]), runner2, str(tmp_path / "o.fa"), 512, 4,
+            counting_output_path=str(tmp_path / "c.fa"),
+        )
