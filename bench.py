@@ -97,19 +97,25 @@ def _chip_only(batch_size: int, L: int, S: int, n: int = 10) -> float:
 
     def chained(params, tok, quals, sidx, smask, n_alns):
         def body(i, t):
+            # t: packed tokens [B, 16 packed rows, L] (row-major layout)
             info, classes, dec = step(params, t, quals, sidx, smask, n_alns)
             # fold EVERY output into the carry (or XLA dead-code-eliminates
             # the transformer and only the counting rule runs), and perturb
             # with the iteration index (or the dev harness' executor
             # memoizes iterations once the carry reaches a fixed point)
-            mix = (jnp.sum(classes.astype(jnp.int32), axis=1) % 13).astype(
-                jnp.uint8
+            mix = (
+                (
+                    jnp.sum(classes.astype(jnp.int32), axis=1)
+                    + jnp.sum(info.astype(jnp.float32), axis=1).astype(jnp.int32)
+                )
+                % 13
+            ).astype(jnp.uint8)
+            t = t.at[:, 2, 0].set(mix)
+            t = t.at[:, 1, :].set(
+                ((t[:, 1, :].astype(jnp.int32) + i + 1) % 251).astype(jnp.uint8)
             )
-            t = t.at[:, 0, 2].set(mix)
-            t = t.at[:, :, 1].set(
-                ((t[:, :, 1].astype(jnp.int32) + i + 1) % 251).astype(jnp.uint8)
-            )
-            return t.at[:, :, 0].set(dec | (t[:, :, 0] & 0xF0))
+            # counting decisions land in the target row's low nibble
+            return t.at[:, 0, :].set(dec | (t[:, 0, :] & 0xF0))
         return jax.lax.fori_loop(0, n, body, tok)
 
     f = jax.jit(chained)

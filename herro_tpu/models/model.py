@@ -2,29 +2,41 @@
 
 Honors the observable I/O contract of the reference TorchScript model
 (src/inference.rs:147-175): inputs are the window pileup ``bases`` (token ids
-0-11, [B, L, 31]) and normalised ``quals`` ([-1, 1], [B, L, 31]); outputs are a
-5-way {A,C,G,T,*} classification plus a scalar info logit for every supported
-pileup column. TPU adaptations:
+0-11) and normalised ``quals`` ([-1, 1]); outputs are a 5-way {A,C,G,T,*}
+classification plus a scalar info logit for every supported pileup column.
+TPU adaptations:
 
-* the ragged ``indices: List[Tensor]`` becomes a dense padded ``[B, S]`` index
-  matrix with a validity mask — static shapes for XLA;
+* tensors are **row-major** ``[B, R, L]`` (pileup rows × columns), putting
+  the long column axis on the 128-lane minor dimension. The reference's
+  ``[B, L, 31]`` layout lane-pads the 31-row axis to 128 on TPU — a measured
+  4-10x waste of HBM bandwidth that dominated the step (tools/ablate_r3.py);
+* the ragged ``indices: List[Tensor]`` becomes a dense padded ``[B, S]``
+  index matrix with a validity mask — static shapes for XLA;
 * logits come back as ``[B, S, 5]`` / ``[B, S]`` instead of flattened
   ``[sum(lens)]`` packs;
-* compute in bfloat16 on the MXU, parameters in float32.
+* compute in bfloat16 on the MXU, parameters in float32; the hot blocks run
+  as fused Pallas kernels (ops/fused.py) with jnp twins on CPU.
 
 Architecture (ours — the reference blob is opaque, only its interface is
 specified): each pileup column's 31 (base, qual) pairs are embedded and fused
-by a dense layer into d_model (row identity is positional: row 0 is the
+by a dense projection into d_model (row identity is positional: row 0 is the
 target, rows 1.. are ranked queries); a pre-norm rotary transformer encoder
 mixes along the column axis; heads classify the gathered supported columns.
+The embedding is expressed as two lane-aligned matmuls (a one-hot contraction
+over row×vocab and a qual contraction over rows) — algebraically identical to
+the original dense over concat(one_hot, qual) but with no lane-padded
+intermediates. Positions are a static arange: padding is always a suffix of
+the column axis (pileup invariant), so real-column positions equal absolute
+positions.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..constants import N_ROWS, TOKEN_PAD, VOCAB_SIZE
@@ -41,7 +53,8 @@ class ModelConfig:
     base_embed_dim: int = 16
     # Attention span along the pileup column axis; None = full attention.
     local_window: int | None = None
-    # auto / flash (pallas) / chunked / naive — see ops/attention.py
+    # Retained for checkpoint-config compatibility; the fused attention op
+    # picks pallas on TPU and the jnp twin elsewhere (ops/fused.py).
     attn_impl: str = "auto"
     dtype: str = "bfloat16"
     # Rematerialise each block in the backward pass: saved activations drop
@@ -72,76 +85,102 @@ R9_CONFIG = ModelConfig(d_ff=1536, local_window=512)
 CONFIGS = {"tiny": TINY_CONFIG, "r10": R10_CONFIG, "r9": R9_CONFIG}
 
 
-def _rope_tables(
-    positions: jnp.ndarray, d_half: int, dtype
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(cos, sin) [B, L, 1, d_half] for :func:`_rope`. Computed once per
-    forward and shared by every layer — the per-layer recompute was ~300M
-    transcendentals per production batch."""
-    freq = 1.0 / (10000.0 ** (jnp.arange(d_half, dtype=jnp.float32) / d_half))
-    angles = positions[..., None].astype(jnp.float32) * freq  # [B, L, d_half]
-    return (
-        jnp.cos(angles)[:, :, None, :].astype(dtype),
-        jnp.sin(angles)[:, :, None, :].astype(dtype),
-    )
+class _DenseParams(nn.Module):
+    """Parameter holder replicating an nn.Dense / nn.DenseGeneral subtree
+    (``{kernel, bias}``) without binding the compute — the fused kernels
+    consume the arrays directly."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros_init(), self.bias_shape)
+        return k, b
 
 
-def _rope(x: jnp.ndarray, rope: tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
-    """Rotary position embedding over the last dim of [B, L, H, Dh]."""
-    cos, sin = rope
-    d_half = x.shape[-1] // 2
-    x1, x2 = x[..., :d_half], x[..., d_half:]
-    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+class _LNParams(nn.Module):
+    """Parameter holder replicating an nn.LayerNorm subtree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
 
 
-class Attention(nn.Module):
+class _AttnParams(nn.Module):
+    """qkv / out projection parameters (tree-compatible with the original
+    Attention module: attn/qkv/{kernel,bias}, attn/out/{kernel,bias})."""
+
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, rope):
-        from ..ops.attention import attention as attn_op
-
+    def __call__(self):
         cfg = self.cfg
-        B, L, _ = x.shape
         h, dh = cfg.n_heads, cfg.d_model // cfg.n_heads
-        qkv = nn.DenseGeneral(
-            (3, h, dh), axis=-1, dtype=cfg.compute_dtype, name="qkv"
-        )(x)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = _rope(q, rope)
-        k = _rope(k, rope)
-
-        # [B, L, H, D] -> [B, H, L, D] for the kernels
-        out = attn_op(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            lengths,
-            local_window=cfg.local_window,
-            impl=cfg.attn_impl,
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, h * dh)
-        return nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="out")(out)
+        qkv_k, qkv_b = _DenseParams(
+            (cfg.d_model, 3, h, dh), (3, h, dh), name="qkv"
+        )()
+        out_k, out_b = _DenseParams(
+            (h * dh, cfg.d_model), (cfg.d_model,), name="out"
+        )()
+        return qkv_k, qkv_b, out_k, out_b
 
 
 class Block(nn.Module):
+    """Pre-norm transformer block over fused ops.
+
+    ln1 -> qkv projection (one fused LN+matmul), rope + banded flash
+    attention straight off the flat qkv buffer, out projection + residual,
+    then a fused LN+FFN+residual kernel. No layout changes anywhere: the
+    stream stays [B, L, d_model] with the 128-aligned d_model minor.
+    """
+
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, lengths, rope):
+    def __call__(self, x, lengths):
+        from ..ops.fused import ln_ffn, ln_matmul, rope_attention
+
         cfg = self.cfg
-        y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln1")(x)
-        x = x + Attention(cfg, name="attn")(y, lengths, rope)
-        y = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln2")(x)
-        y = nn.Dense(cfg.d_ff, dtype=cfg.compute_dtype, name="ff1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="ff2")(y)
-        return x + y
+        dt = cfg.compute_dtype
+        h, dh = cfg.n_heads, cfg.d_model // cfg.n_heads
+
+        ln1_s, ln1_b = _LNParams(cfg.d_model, name="ln1")()
+        qkv_k, qkv_b, out_k, out_b = _AttnParams(cfg, name="attn")()
+        ln2_s, ln2_b = _LNParams(cfg.d_model, name="ln2")()
+        ff1_k, ff1_b = _DenseParams(
+            (cfg.d_model, cfg.d_ff), (cfg.d_ff,), name="ff1"
+        )()
+        ff2_k, ff2_b = _DenseParams(
+            (cfg.d_ff, cfg.d_model), (cfg.d_model,), name="ff2"
+        )()
+
+        # (d, 3, h, dh) flattens c-major to (d, 3*h*dh): q of head i is
+        # column block i, k is h+i, v is 2h+i — the layout rope_attention's
+        # index maps address directly.
+        qkv = ln_matmul(
+            x, ln1_s, ln1_b,
+            qkv_k.reshape(cfg.d_model, 3 * h * dh).astype(dt),
+            qkv_b.reshape(3 * h * dh).astype(dt),
+        )
+        attn = rope_attention(qkv, lengths, h, cfg.local_window)
+        x = x + (attn @ out_k.astype(dt) + out_b.astype(dt)).astype(dt)
+        return ln_ffn(
+            x, ln2_s, ln2_b,
+            ff1_k.astype(dt), ff1_b.astype(dt),
+            ff2_k.astype(dt), ff2_b.astype(dt),
+        )
 
 
 class CorrectionModel(nn.Module):
-    """bases [B,L,31] int32, quals [B,L,31] f32, support_idx [B,S] int32,
-    support_mask [B,S] bool -> (info_logits [B,S], bases_logits [B,S,5])."""
+    """bases [B,R,L] int (vocab 0-11), quals [B,R,L] f32 in [-1,1],
+    support_idx [B,S] int32, support_mask [B,S] bool
+    -> (info_logits [B,S], bases_logits [B,S,5])."""
 
     cfg: ModelConfig
 
@@ -154,33 +193,49 @@ class CorrectionModel(nn.Module):
         support_mask: jnp.ndarray,
     ):
         cfg = self.cfg
-        B, L, R = bases.shape
+        dt = cfg.compute_dtype
+        B, R, L = bases.shape
         assert R == N_ROWS, f"expected {N_ROWS} pileup rows, got {R}"
+        V1 = VOCAB_SIZE + 1
 
-        # Per-row features: one-hot base token (+ qual scalar). The embedding
-        # is folded into the dense projection — one MXU matmul instead of a
-        # 4.5M-element gather, which TPUs handle poorly.
-        onehot = jax.nn.one_hot(bases, VOCAB_SIZE, dtype=cfg.compute_dtype)
-        q = quals[..., None].astype(cfg.compute_dtype)
-        col = jnp.concatenate([onehot, q], axis=-1)  # [B, L, R, V+1]
-        col = col.reshape(B, L, R * (VOCAB_SIZE + 1))
-        x = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype, name="col_proj")(col)
+        # col_proj is a dense over the per-column feature vector
+        # concat_r(one_hot(base_r), qual_r) — kernel rows are ordered
+        # r*(V+1)+v for the one-hot part and r*(V+1)+V for the qual scalar.
+        # Evaluate it as two lane-aligned contractions instead of
+        # materialising the [B, L, R*(V+1)] concat (minor dim 13 lane-pads
+        # 10x on TPU): x = M[B,R*V,L] . W_emb[R*V,d] + quals[B,R,L] . W_q[R,d].
+        ck, cb = _DenseParams(
+            (R * V1, cfg.d_model), (cfg.d_model,), name="col_proj"
+        )()
+        idx = np.arange(R * V1).reshape(R, V1)
+        w_emb = ck[idx[:, :VOCAB_SIZE].reshape(-1)].astype(dt)  # [R*V, d]
+        w_q = ck[idx[:, VOCAB_SIZE]].astype(dt)  # [R, d]
 
-        # Columns whose target row is padding are masked out everywhere;
-        # padding is always a suffix, so a per-example length suffices.
-        mask = bases[:, :, 0] != TOKEN_PAD
-        lengths = mask.astype(jnp.int32).sum(axis=1)
-        # Positions count real columns so padding never shifts phases; the
-        # rotary tables are computed once here and shared by all layers.
-        positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-        rope = _rope_tables(
-            positions, cfg.d_model // cfg.n_heads // 2, cfg.compute_dtype
+        onehot = (
+            bases[:, :, None, :] == jnp.arange(VOCAB_SIZE, dtype=bases.dtype)[None, None, :, None]
+        ).astype(dt)  # [B, R, V, L] — L stays minor, everything lane-aligned
+        m = onehot.reshape(B, R * VOCAB_SIZE, L)
+        x = jax.lax.dot_general(
+            m, w_emb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, L, d]
+        x = x + jax.lax.dot_general(
+            quals.astype(dt), w_q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        x = (x + cb).astype(dt)  # [B, L, d]
+
+        # Padding is always a suffix, so a per-example length suffices (and
+        # positions are a static arange inside the attention op).
+        mask = bases[:, 0, :] != TOKEN_PAD
+        lengths = mask.astype(jnp.int32).sum(axis=1)
 
         block_cls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.n_layers):
-            x = block_cls(cfg, name=f"block_{i}")(x, lengths, rope)
-        x = nn.LayerNorm(dtype=cfg.compute_dtype, name="ln_f")(x)
+            x = block_cls(cfg, name=f"block_{i}")(x, lengths)
+        x = nn.LayerNorm(dtype=dt, name="ln_f")(x)
 
         # Gather supported columns: [B, S, d]
         gathered = jnp.take_along_axis(x, support_idx[..., None], axis=1)
@@ -197,9 +252,9 @@ class CorrectionModel(nn.Module):
 
 def init_params(cfg: ModelConfig, rng: jax.Array, max_len: int = 64, max_sup: int = 8):
     model = CorrectionModel(cfg)
-    bases = jnp.full((1, max_len, N_ROWS), TOKEN_PAD, dtype=jnp.int32)
-    bases = bases.at[:, :, 0].set(0)
-    quals = jnp.zeros((1, max_len, N_ROWS), dtype=jnp.float32)
+    bases = jnp.full((1, N_ROWS, max_len), TOKEN_PAD, dtype=jnp.uint8)
+    bases = bases.at[:, 0, :].set(0)
+    quals = jnp.zeros((1, N_ROWS, max_len), dtype=jnp.float32)
     sidx = jnp.zeros((1, max_sup), dtype=jnp.int32)
     smask = jnp.ones((1, max_sup), dtype=bool)
     return model.init(rng, bases, quals, sidx, smask)

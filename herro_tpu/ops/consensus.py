@@ -26,18 +26,20 @@ DECISION_PAD = 255
 
 
 def count_decisions_jnp(tokens: jnp.ndarray, n_alns: jnp.ndarray) -> jnp.ndarray:
-    """Counting-rule class per column. tokens [B, L, R] int32 (vocab 0-11),
-    n_alns [B] -> decisions [B, L] uint8 in {0..4}.
+    """Counting-rule class per column. tokens [B, R, L] uint8 (vocab 0-11,
+    row-major — L on the 128-lane minor axis), n_alns [B] -> decisions
+    [B, L] uint8 in {0..4}.
 
-    Laid out TPU-first: all reductions/selects run on [B, L] planes (L on the
-    128-lane minor axis) rather than the tiny R/class minor dims, and the
-    vocab->class table is the arithmetic identity ``t % 5`` (t < 10), so no
-    gathers at all.
+    Laid out TPU-first: all reductions/selects run on [B, L] planes rather
+    than the tiny R/class minor dims, the input stays uint8 end-to-end, and
+    the vocab->class table is the arithmetic identity ``t % 5`` (t < 10), so
+    no gathers at all.
     """
-    B, L, R = tokens.shape
-    t = jnp.transpose(tokens, (0, 2, 1))  # [B, R, L]
-    cls = jnp.where(t < 10, t % 5, 5)
-    valid = (jnp.arange(R)[None, :, None] <= n_alns[:, None, None]) & (cls < 5)
+    B, R, L = tokens.shape
+    cls = jnp.where(tokens < 10, tokens % 5, 5).astype(jnp.uint8)
+    valid = (
+        jnp.arange(R, dtype=jnp.int32)[None, :, None] <= n_alns[:, None, None]
+    ) & (cls < 5)
 
     # per-class counts as five [B, L] planes
     counts = [
@@ -59,8 +61,7 @@ def count_decisions_jnp(tokens: jnp.ndarray, n_alns: jnp.ndarray) -> jnp.ndarray
     counts2 = [jnp.where(c0 == c, -1, counts[c]) for c in range(5)]
     c1, mc1 = top(counts2)
 
-    t0 = tokens[:, :, 0]
-    tbase = jnp.where(t0 < 10, t0 % 5, 5)
+    tbase = cls[:, 0, :].astype(jnp.int32)
     keep_target = (mc0 < 2) | ((mc0 == mc1) & ((c0 == tbase) | (c1 == tbase)))
     return jnp.where(keep_target, tbase, c0).astype(jnp.uint8)
 

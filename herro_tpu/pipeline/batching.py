@@ -131,33 +131,38 @@ def pack_tokens(tokens: np.ndarray) -> np.ndarray:
 
 
 def unpack_tokens_np(packed: np.ndarray, n_rows: int) -> np.ndarray:
-    """numpy twin of :func:`unpack_tokens_jnp` (host-side consumers)."""
+    """Unpack ``[..., P, L]`` row-major packed nibbles -> ``[..., n_rows, L]``
+    uint8 (numpy twin of :func:`unpack_tokens_jnp`). Packed row p holds rows
+    2p (low nibble) and 2p+1 (high nibble)."""
     lo = packed & 0xF
     hi = packed >> 4
-    full = np.stack([lo, hi], axis=-1).reshape(
-        packed.shape[:-1] + (2 * packed.shape[-1],)
-    )
-    return full[..., :n_rows].astype(np.uint8)
+    p, L = packed.shape[-2:]
+    full = np.stack([lo, hi], axis=-2).reshape(packed.shape[:-2] + (2 * p, L))
+    return full[..., :n_rows, :].astype(np.uint8)
 
 
 def unpack_tokens_jnp(packed, n_rows: int):
-    """jnp twin: ``[..., P]`` packed nibbles -> ``[..., n_rows]`` int32."""
+    """jnp twin: ``[..., P, L]`` packed nibble rows -> ``[..., n_rows, L]``
+    uint8. The column axis L stays minor (128-lane aligned) throughout; the
+    row interleave is a free reshape of the two non-minor dims."""
     import jax.numpy as jnp
 
     lo = packed & 0xF
     hi = packed >> 4
-    full = jnp.stack([lo, hi], axis=-1).reshape(
-        packed.shape[:-1] + (2 * packed.shape[-1],)
-    )
-    return full[..., :n_rows].astype(jnp.int32)
+    p, L = packed.shape[-2], packed.shape[-1]
+    full = jnp.stack([lo, hi], axis=-2).reshape(packed.shape[:-2] + (2 * p, L))
+    return full[..., :n_rows, :].astype(jnp.uint8)
 
 
 @dataclass
 class Batch:
-    """One padded, static-shape batch. Token nibbles ship packed."""
+    """One padded, static-shape batch, **row-major** on the device axis
+    order: the long column axis L is minor (TPU 128-lane aligned — a
+    [B, L, 31] layout lane-pads the 31-row axis 4x). Token nibbles ship
+    packed."""
 
-    tokens_packed: np.ndarray  # uint8 [B, L, 16] packed 4-bit vocab ids
-    quals: np.ndarray  # uint8 [B, L, 31]
+    tokens_packed: np.ndarray  # uint8 [B, 16, L] packed 4-bit vocab id rows
+    quals: np.ndarray  # uint8 [B, 31, L]
     support_idx: np.ndarray  # int32 [B, S]
     support_mask: np.ndarray  # bool [B, S]
     n_alns: np.ndarray  # int32 [B]
@@ -165,26 +170,30 @@ class Batch:
 
     @property
     def shape_key(self) -> tuple[int, int, int]:
-        return self.tokens_packed.shape[:2] + (self.support_idx.shape[1],)
+        return (
+            self.tokens_packed.shape[0],
+            self.tokens_packed.shape[2],
+            self.support_idx.shape[1],
+        )
 
 
 def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Batch:
     B = batch_size
-    tokens = np.full((B, L, windows[0].tokens.shape[1]), TOKEN_PAD, dtype=np.uint8)
-    quals = np.full((B, L, windows[0].quals.shape[1]), QUAL_PAD, dtype=np.uint8)
+    R = windows[0].tokens.shape[1]
+    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.uint8)
+    quals = np.full((B, R, L), QUAL_PAD, dtype=np.uint8)
     support_idx = np.zeros((B, S), dtype=np.int32)
     support_mask = np.zeros((B, S), dtype=bool)
     n_alns = np.zeros(B, dtype=np.int32)
     for i, w in enumerate(windows):
         l, s = w.length, w.n_supported
         tokens[i, :l] = w.tokens
-        quals[i, :l] = w.quals
+        quals[i, :, :l] = w.quals.T
         support_idx[i, :s] = w.support_flat
         support_mask[i, :s] = True
         n_alns[i] = w.n_alns
-    return Batch(
-        pack_tokens(tokens), quals, support_idx, support_mask, n_alns, windows
-    )
+    packed = np.ascontiguousarray(pack_tokens(tokens).transpose(0, 2, 1))
+    return Batch(packed, quals, support_idx, support_mask, n_alns, windows)
 
 
 class BucketBatcher:

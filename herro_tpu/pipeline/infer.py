@@ -53,8 +53,9 @@ class WindowResult:
 
 
 def make_correct_step(cfg: ModelConfig):
-    """The fused step takes *packed* token nibbles ([B, L, 16], see
-    batching.pack_tokens) — host->device bytes are the engine's throughput
+    """The fused step takes *packed* token nibble rows ([B, 16, L], see
+    batching.collate — row-major so the long column axis sits on the TPU's
+    128-lane minor dim) — host->device bytes are the engine's throughput
     limit on bandwidth-constrained links — and unpacks on device."""
     from ..constants import N_ROWS
     from .batching import unpack_tokens_jnp
@@ -62,7 +63,7 @@ def make_correct_step(cfg: ModelConfig):
     model = CorrectionModel(cfg)
 
     def step(params, tokens_packed, quals_u8, support_idx, support_mask, n_alns):
-        tokens = unpack_tokens_jnp(tokens_packed, N_ROWS)
+        tokens = unpack_tokens_jnp(tokens_packed, N_ROWS)  # [B, 31, L] uint8
         quals = (
             QUAL_SCALE * quals_u8.astype(jnp.float32) - QUAL_OFFSET
         )
@@ -105,6 +106,24 @@ class CorrectionRunner:
             data = NamedSharding(mesh, P("data"))
             pshard = param_shardings(mesh, params)
             self.params = jax.device_put(params, pshard)
+            tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+            if tp == 1:
+                # Pure data parallelism: shard_map over the batch axis so
+                # each device runs the step (including its pallas kernels)
+                # on its local shard — GSPMD would treat pallas_call as an
+                # unpartitionable custom call and gather the whole batch.
+                from jax.experimental.shard_map import shard_map
+
+                step = shard_map(
+                    step,
+                    mesh=mesh,
+                    in_specs=(P(),) + (P("data"),) * 5,
+                    out_specs=(P("data"),) * 3,
+                    check_rep=False,
+                )
+            # With tensor parallelism GSPMD partitions the (jnp twin) ops;
+            # the pallas fast path under TP would need a 2-D shard_map and
+            # is not wired (TP is an option beyond the reference's needs).
             self._step = jax.jit(
                 step,
                 in_shardings=(pshard, data, data, data, data, data),

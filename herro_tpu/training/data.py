@@ -149,8 +149,10 @@ def collate_train(
 ) -> TrainBatch:
     B = len(windows)
     R = windows[0].tokens.shape[1]
-    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.uint8)
-    quals = np.full((B, L, R), QUAL_PAD, dtype=np.uint8)
+    # Row-major device layout [B, R, L] — column axis on the 128-lane minor
+    # dim (same as inference batches, pipeline/batching.collate).
+    tokens = np.full((B, R, L), TOKEN_PAD, dtype=np.uint8)
+    quals = np.full((B, R, L), QUAL_PAD, dtype=np.uint8)
     sidx = np.zeros((B, S), dtype=np.int32)
     smask = np.zeros((B, S), dtype=bool)
     labels = np.zeros((B, S), dtype=np.int32)
@@ -158,8 +160,8 @@ def collate_train(
     for i, w in enumerate(windows):
         l = min(w.tokens.shape[0], L)
         s = min(w.support_flat.shape[0], S)
-        tokens[i, :l] = w.tokens[:l]
-        quals[i, :l] = w.quals[:l]
+        tokens[i, :, :l] = w.tokens[:l].T
+        quals[i, :, :l] = w.quals[:l].T
         keep = w.support_flat[:s] < L
         sidx[i, :s][keep] = w.support_flat[:s][keep]
         smask[i, :s] = keep

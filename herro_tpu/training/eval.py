@@ -167,12 +167,7 @@ def score_fragments(
         truth, other, het, hp = _truth_context(ds, r)
         truth_b = truth.tobytes()
 
-        # full-read identity: the longest fragment against the full truth
-        # (charges the by-design end-trimming); raw read likewise.
-        longest = max(frags, key=len)
-        ident = _full_identity(longest, truth.shape[0])
-        if ident is not None:
-            acc.read_idents.append(ident)
+        # raw full-read identity against the full truth (charges end trims)
         rid = reads.name_to_id.get(r.name)
         if rid is not None:
             ident = _full_identity(reads.seq(rid).tobytes(), truth.shape[0])
@@ -182,6 +177,7 @@ def score_fragments(
         covered = np.zeros(truth.shape[0], dtype=bool)
         b2a_all = np.full(truth.shape[0], 254, dtype=np.uint8)
         ins_all = np.zeros(truth.shape[0] + 1, dtype=np.int64)
+        frag_dist = 0  # summed fitting distance over aligned fragments
         for frag in frags:
             if len(frag) < min_fragment:
                 continue
@@ -198,6 +194,16 @@ def score_fragments(
             covered[sl] = True
             b2a_all[sl] = ta.b2a[sl]
             ins_all += ta.ins_after
+            frag_dist += ta.distance
+
+        # Corrected full-read identity combines ALL fragments of a split
+        # read: summed fragment distances plus a charge for every truth
+        # position no fragment covers (end trims and split gaps). Equals the
+        # single-fragment definition when the read wasn't split.
+        n_uncovered = int((~covered).sum())
+        acc.read_idents.append(
+            max(0.0, 1.0 - (frag_dist + n_uncovered) / truth.shape[0])
+        )
 
         if het is not None:
             het_cov = het & covered

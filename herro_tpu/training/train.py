@@ -24,8 +24,8 @@ from ..models.model import CorrectionModel, ModelConfig
 
 @dataclass
 class TrainBatch:
-    tokens: np.ndarray  # uint8 [B, L, 31]
-    quals: np.ndarray  # uint8 [B, L, 31]
+    tokens: np.ndarray  # uint8 [B, 31, L] (row-major: column axis minor)
+    quals: np.ndarray  # uint8 [B, 31, L]
     support_idx: np.ndarray  # int32 [B, S]
     support_mask: np.ndarray  # bool [B, S]
     labels: np.ndarray  # int32 [B, S]

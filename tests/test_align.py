@@ -115,6 +115,41 @@ def test_score_accumulator_perfect_correction():
     assert d["homopolymer"]["hp_err_rate"] == 0.0
 
 
+def test_score_split_read_combines_fragments():
+    """Full-read identity covers ALL fragments of a split read: two perfect
+    fragments with a small uncovered gap score ~1 - gap/len, not the ~50%
+    the old longest-fragment definition gave."""
+    from herro_tpu.io.fastx import load_reads
+    from herro_tpu.training.eval import ScoreAccumulator, score_fragments
+    from herro_tpu.training.simulate import simulate, true_sequence
+
+    ds = simulate(
+        genome_len=9000, n_reads=4, read_len=(4000, 5000), het_rate=0.0, seed=9
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fastq = os.path.join(tmp, "r.fastq")
+        ds.write_fastq(fastq)
+        reads = load_reads(fastq, min_length=100)
+        fasta = os.path.join(tmp, "c.fasta")
+        gap = 100
+        with open(fasta, "wb") as fh:
+            for r in ds.reads:
+                t = true_sequence(ds, r)
+                half = len(t) // 2
+                fh.write(b">" + r.name + b":0\n" + t[:half] + b"\n")
+                fh.write(b">" + r.name + b":1\n" + t[half + gap :] + b"\n")
+        acc = ScoreAccumulator()
+        score_fragments(ds, reads, fasta, acc)
+
+    assert acc.n_fragments == 8
+    for ident, r in zip(acc.read_idents, ds.reads):
+        expected = 1.0 - gap / (r.end - r.start)
+        assert abs(ident - expected) < 0.01, (ident, expected)
+
+
 def test_evaluate_counting_mode_smoke():
     """The counting decode improves raw reads and emits the new breakdown."""
     from herro_tpu.models.checkpoint import load_or_init

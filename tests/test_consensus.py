@@ -59,10 +59,11 @@ def test_counting_dots_excluded_and_case_folded():
 def test_jnp_matches_np_random():
     rng = np.random.default_rng(0)
     B, L, R = 4, 33, 31
-    tokens = rng.integers(0, 11, size=(B, L, R)).astype(np.int32)
+    tokens = rng.integers(0, 11, size=(B, L, R)).astype(np.uint8)
     tokens[:, :, 0] = rng.integers(0, 5, size=(B, L))  # target: base or '*'
     n_alns = rng.integers(0, 31, size=B).astype(np.int32)
-    out_j = np.asarray(count_decisions_jnp(tokens, n_alns))
+    # device op takes the row-major [B, R, L] layout; np twin stays [L, R]
+    out_j = np.asarray(count_decisions_jnp(tokens.transpose(0, 2, 1), n_alns))
     for b in range(B):
         out_n = count_decisions_np(tokens[b], int(n_alns[b]))
         np.testing.assert_array_equal(out_j[b], out_n)

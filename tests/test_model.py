@@ -13,9 +13,10 @@ def params():
 
 
 def _inputs(rng, B=2, L=24, S=6):
-    bases = rng.integers(0, 11, size=(B, L, N_ROWS)).astype(np.int32)
-    bases[:, :, 0] = rng.integers(0, 5, size=(B, L))
-    quals = rng.uniform(-1, 1, size=(B, L, N_ROWS)).astype(np.float32)
+    # row-major device layout [B, R, L] (models/model.py docstring)
+    bases = rng.integers(0, 11, size=(B, N_ROWS, L)).astype(np.uint8)
+    bases[:, 0, :] = rng.integers(0, 5, size=(B, L))
+    quals = rng.uniform(-1, 1, size=(B, N_ROWS, L)).astype(np.float32)
     sidx = np.stack([rng.choice(L, size=S, replace=False) for _ in range(B)]).astype(
         np.int32
     )
@@ -41,10 +42,10 @@ def test_padding_invariance(params):
     _, logits_a = model.apply(params, bases, quals, sidx, smask)
 
     pad = 8
-    bases_p = np.full((1, 16 + pad, N_ROWS), TOKEN_PAD, dtype=np.int32)
-    bases_p[:, :16] = bases
-    quals_p = np.zeros((1, 16 + pad, N_ROWS), dtype=np.float32)
-    quals_p[:, :16] = quals
+    bases_p = np.full((1, N_ROWS, 16 + pad), TOKEN_PAD, dtype=np.uint8)
+    bases_p[:, :, :16] = bases
+    quals_p = np.zeros((1, N_ROWS, 16 + pad), dtype=np.float32)
+    quals_p[:, :, :16] = quals
     _, logits_b = model.apply(params, bases_p, quals_p, sidx, smask)
     np.testing.assert_allclose(
         np.asarray(logits_a), np.asarray(logits_b), atol=1e-5

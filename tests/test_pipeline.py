@@ -38,10 +38,11 @@ def test_collate_padding():
     )
     b = collate([w], L=16, S=4, batch_size=2)
     packed_pad = TOKEN_PAD | (TOKEN_PAD << 4)
+    # row-major device layout: [B, 16 packed rows, L] / [B, 31, L]
     assert b.tokens_packed.shape == (2, 16, 16)
-    assert (b.tokens_packed[0, 10:] == packed_pad).all()
+    assert (b.tokens_packed[0, :, 10:] == packed_pad).all()
     assert (b.tokens_packed[1] == packed_pad).all()
-    assert (b.quals[0, 10:] == QUAL_PAD).all()
+    assert (b.quals[0, :, 10:] == QUAL_PAD).all()
     assert b.support_mask[0].tolist() == [True, True, False, False]
     assert b.n_alns.tolist() == [3, 0]
 
@@ -117,7 +118,11 @@ def test_token_pack_roundtrip():
 
     rng = np.random.default_rng(3)
     tokens = rng.integers(0, 12, size=(3, 20, 31)).astype(np.uint8)
-    packed = pack_tokens(tokens)
-    assert packed.shape == (3, 20, 16)
+    packed = np.ascontiguousarray(pack_tokens(tokens).transpose(0, 2, 1))
+    assert packed.shape == (3, 16, 20)
     out = np.asarray(unpack_tokens_jnp(jax.numpy.asarray(packed), 31))
-    assert np.array_equal(out, tokens.astype(np.int32))
+    assert np.array_equal(out, tokens.transpose(0, 2, 1))
+
+    from herro_tpu.pipeline.batching import unpack_tokens_np
+
+    assert np.array_equal(unpack_tokens_np(packed, 31), tokens.transpose(0, 2, 1))
