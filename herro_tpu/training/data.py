@@ -98,8 +98,10 @@ def profile_windows(
     import pickle
     import tempfile
 
+    # v2: simulator emits informative per-base qualities (constant-Q40 v1
+    # caches must not be reused — the qual plane is now a real signal)
     cache = (
-        os.path.join(cache_dir, f"{p.name}-w{window_size}.pkl")
+        os.path.join(cache_dir, f"{p.name}-w{window_size}-v2.pkl")
         if cache_dir
         else None
     )

@@ -322,6 +322,8 @@ def evaluate(
     counting_only: bool = False,
     mode: str | None = None,
     with_baseline: bool = False,
+    shuffle_quals: bool = False,
+    qual_mode: str = "informative",
 ) -> EvalResult:
     """Evaluate a checkpoint (or a decode mode) on a fresh simulation.
 
@@ -329,6 +331,11 @@ def evaluate(
     ``oracle`` (truth at supported columns — the ceiling). With
     ``with_baseline`` the model run *also* emits the counting decode of the
     identical features, and ``model_gain_db`` reports the matched-seed gap.
+
+    ``shuffle_quals`` permutes each read's quality string (seeded) before
+    correction while leaving the bases untouched — the ablation control for
+    the quality input channel: the matched-seed gap between a normal run and
+    a shuffled run is the quality signal's contribution.
     """
     if mode is None:
         mode = "counting" if counting_only else "model"
@@ -341,7 +348,15 @@ def evaluate(
         del_rate=del_rate,
         het_rate=het_rate,
         seed=seed,
+        qual_mode=qual_mode,
     )
+    if shuffle_quals:
+        qrng = np.random.default_rng(seed ^ 0x5EED)
+        for r in ds.reads:
+            if r.quals is not None:
+                q = np.frombuffer(r.quals, dtype=np.uint8).copy()
+                qrng.shuffle(q)
+                r.quals = q.tobytes()
     with tempfile.TemporaryDirectory() as tmp:
         fastq = os.path.join(tmp, "reads.fastq")
         ds.write_fastq(fastq)

@@ -36,6 +36,7 @@ class SimRead:
     sub: np.ndarray  # uint8 [span]: emitted base (valid where emitted)
     ins_after: list[bytes]  # inserted bases after each genome position (fwd)
     hap: int = 0  # haplotype the read was sampled from
+    quals: bytes | None = None  # stored-orientation phred+33; None = constant
 
     @property
     def length(self) -> int:
@@ -73,9 +74,13 @@ class SimDataset:
         return np.frombuffer(self.haplotypes[hap], dtype=np.uint8)
 
     def write_fastq(self, path: str, qual: int = 40) -> None:
+        """Write reads with their simulated per-base qualities (informative:
+        correlated with the true error events — the signal the reference
+        consumes, src/inference.rs:16-21); ``qual`` is the constant fallback
+        for datasets simulated with ``qual_mode="constant"``."""
         with open(path, "wb") as fh:
             for r in self.reads:
-                q = bytes([33 + qual]) * r.length
+                q = r.quals if r.quals is not None else bytes([33 + qual]) * r.length
                 fh.write(b"@" + r.name + b"\n" + r.seq + b"\n+\n" + q + b"\n")
 
 
@@ -94,6 +99,60 @@ def _homopolymer_weights(genome: np.ndarray, boost: float) -> np.ndarray:
     return w
 
 
+def _informative_quals(
+    rng: np.random.Generator,
+    emitted: np.ndarray,
+    subs: np.ndarray,
+    ins_lens: np.ndarray,
+    rc: bool,
+    q_read_mean: float,
+    q_read_sigma: float,
+    q_err_mean: float,
+    miscal_rate: float,
+) -> bytes:
+    """Per-base phred+33 string (stored orientation) correlated with the
+    read's actual error events, ONT-style:
+
+    * read-level quality drift: each read draws its own baseline quality;
+    * erroneous bases (substituted or inserted) draw from a low-Q
+      distribution; correct bases from the read baseline + per-base noise;
+    * the base preceding a deletion is degraded (local signal loss);
+    * ``miscal_rate`` of bases are miscalibrated (quality replaced by a
+      uniform draw regardless of correctness) — models basecaller
+      calibration error so training can't treat quality as oracle truth.
+    """
+    n_span = emitted.shape[0]
+    per_pos = emitted.astype(np.int64) + ins_lens
+    offsets = np.zeros(n_span + 1, dtype=np.int64)
+    np.cumsum(per_pos, out=offsets[1:])
+    n = int(offsets[-1])
+    if n == 0:
+        return b""
+
+    is_err = np.ones(n, dtype=bool)  # insertions default to error
+    em = np.nonzero(emitted)[0]
+    is_err[offsets[em]] = subs[em]  # emitted bases: error iff substituted
+
+    rq = float(np.clip(rng.normal(q_read_mean, q_read_sigma), 12.0, 32.0))
+    q = np.where(
+        is_err,
+        rng.normal(q_err_mean, 3.0, size=n),
+        rq + rng.normal(0.0, 3.5, size=n),
+    )
+    # degrade the base just before each deleted genome position
+    deleted = np.nonzero(~emitted)[0]
+    before = offsets[deleted] - 1
+    before = before[before >= 0]
+    q[before] -= 4.0
+    miscal = rng.random(n) < miscal_rate
+    if miscal.any():
+        q[miscal] = rng.uniform(4.0, 36.0, size=int(miscal.sum()))
+    q = np.clip(np.rint(q), 2, 50).astype(np.uint8) + 33
+    if rc:
+        q = q[::-1]
+    return q.tobytes()
+
+
 def simulate(
     genome_len: int = 20_000,
     n_reads: int = 40,
@@ -105,6 +164,11 @@ def simulate(
     seed: int = 0,
     het_rate: float = 0.0,
     hp_indel_boost: float = 3.0,
+    qual_mode: str = "informative",
+    q_read_mean: float = 20.0,
+    q_read_sigma: float = 4.0,
+    q_err_mean: float = 10.0,
+    miscal_rate: float = 0.03,
 ) -> SimDataset:
     """Simulate a (optionally diploid) genome and error-laden reads.
 
@@ -115,6 +179,13 @@ def simulate(
     the hard case the model (and the reference's phase re-rank,
     src/features.rs:461-528) exists for. Indel error probability is boosted
     inside homopolymer runs, ONT-style.
+
+    ``qual_mode="informative"`` (default) gives every read per-base phred
+    scores correlated with its actual error events (see
+    :func:`_informative_quals`) — base quality is a first-class model input
+    in the reference (src/haec_io.rs:57-60, src/inference.rs:16-21), so the
+    simulator must make it a real signal. ``"constant"`` restores the flat
+    Q40 of earlier rounds.
     """
     rng = np.random.default_rng(seed)
     genome = rng.choice(_BASES, size=genome_len)
@@ -169,19 +240,23 @@ def simulate(
         rc = bool(rng.random() < rc_prob)
         seq = _COMP[np.frombuffer(fwd, dtype=np.uint8)][::-1].tobytes() if rc else fwd
 
-        reads.append(
-            SimRead(
-                name=b"read_%d" % i,
-                start=start,
-                end=end,
-                rc=rc,
-                seq=seq,
-                emitted=emitted,
-                sub=sub,
-                ins_after=ins_after,
-                hap=hap,
-            )
+        read = SimRead(
+            name=b"read_%d" % i,
+            start=start,
+            end=end,
+            rc=rc,
+            seq=seq,
+            emitted=emitted,
+            sub=sub,
+            ins_after=ins_after,
+            hap=hap,
         )
+        if qual_mode == "informative":
+            read.quals = _informative_quals(
+                rng, emitted, subs & emitted, read.ins_lens, rc,
+                q_read_mean, q_read_sigma, q_err_mean, miscal_rate,
+            )
+        reads.append(read)
 
     return SimDataset(genome.tobytes(), reads, haplotypes)
 

@@ -5,7 +5,7 @@ Run from the repo root:  python tests/make_golden.py
 Freezes the byte-exact output of the full featurization path (windowing ->
 long-indel filter -> accuracy sort -> pileup fill -> supported counting ->
 haplotype re-rank) on a fixed-seed simulated dataset. The committed .npz is
-compared bit-for-bit by tests/test_golden.py, catching byte-level
+compared bit-for-bit by tests/test_golden.py (v2: simulator emits informative per-base qualities, so the frozen qual plane carries real variation), catching byte-level
 featurization regressions that relative native-vs-numpy parity cannot
 (both paths drifting together). Port of the intent of the reference's
 commented-out golden tests (src/windowing.rs:295-606).
@@ -66,7 +66,7 @@ def build_windows():
 
 if __name__ == "__main__":
     out = build_windows()
-    path = os.path.join(os.path.dirname(__file__), "golden", "featgen_v1.npz")
+    path = os.path.join(os.path.dirname(__file__), "golden", "featgen_v2.npz")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     total = sum(v.nbytes for v in out.values())

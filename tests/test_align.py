@@ -161,7 +161,7 @@ def test_evaluate_counting_mode_smoke():
         params,
         window_size=512,
         genome_len=8000,
-        n_reads=14,
+        n_reads=28,
         het_rate=0.005,
         seed=11,
         batch_size=4,
@@ -181,7 +181,7 @@ def test_evaluate_oracle_beats_counting():
     kw = dict(
         window_size=512,
         genome_len=8000,
-        n_reads=14,
+        n_reads=28,
         het_rate=0.005,
         seed=11,
         batch_size=4,
@@ -206,7 +206,7 @@ def test_evaluate_with_baseline_single_pass():
         params,
         window_size=512,
         genome_len=8000,
-        n_reads=14,
+        n_reads=28,
         het_rate=0.005,
         seed=11,
         batch_size=4,
