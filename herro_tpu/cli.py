@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
         "mesh; must divide --devices)",
     )
     pi.add_argument(
+        "--int8",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="quantize the layer-stack matmuls to int8 (2x MXU rate on "
+        "v5e); default follows the checkpoint config",
+    )
+    pi.add_argument(
         "--resume",
         action="store_true",
         help="append to an existing output, skipping already-corrected reads",
@@ -222,6 +229,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also decode the identical features with the counting rule and "
         "report the matched-seed model_gain_db",
+    )
+    pe.add_argument(
+        "--int8",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="quantize the layer-stack matmuls to int8; default follows the "
+        "checkpoint config",
+    )
+    pe.add_argument(
+        "--shuffle-quals",
+        action="store_true",
+        help="ablation control: permute each read's quality string (seeded) "
+        "before correction — the matched-seed gap vs a normal run is the "
+        "quality channel's contribution",
     )
     return ap
 
@@ -359,7 +380,7 @@ def cmd_inference(args) -> None:
         raise SystemExit(
             f"batch size {args.batch_size} not divisible by data size {n_data}"
         )
-    runner = CorrectionRunner(cfg, params, mesh=mesh)
+    runner = CorrectionRunner(cfg, params, mesh=mesh, int8=args.int8)
 
     from .pipeline.engine import StageTimers
     from .pipeline.progress import Progress
@@ -565,6 +586,8 @@ def cmd_eval(args) -> None:
         counting_only=args.counting_only,
         mode=args.mode,
         with_baseline=args.with_baseline,
+        int8=args.int8,
+        shuffle_quals=args.shuffle_quals,
     )
     print(json.dumps(res.as_dict(), indent=1))
 

@@ -62,6 +62,13 @@ class ModelConfig:
     # which is what lets a [32, 5120] train batch fit in 16G of HBM. Free at
     # inference (XLA drops the recompute when nothing needs residuals).
     remat: bool = True
+    # Inference-time int8: dynamic per-row activation + per-channel weight
+    # quantization of the layer-stack matmuls (qkv, out, FFN) — 2x the MXU
+    # rate and half the HBM bytes on v5e. Weights stay f32 in the checkpoint
+    # (quantized on the fly inside the jitted step — negligible, it is
+    # per-weight not per-token work). Heads/entry/attention stay bf16/f32.
+    # Training ignores this flag (the custom_vjp paths are bf16).
+    int8: bool = False
 
     @property
     def compute_dtype(self):
@@ -144,7 +151,14 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, lengths):
-        from ..ops.fused import ln_ffn, ln_matmul, rope_attention
+        from ..ops.fused import (
+            ln_ffn,
+            ln_ffn_q,
+            ln_matmul,
+            ln_matmul_q,
+            quantize_weight,
+            rope_attention,
+        )
 
         cfg = self.cfg
         dt = cfg.compute_dtype
@@ -163,13 +177,23 @@ class Block(nn.Module):
         # (d, 3, h, dh) flattens c-major to (d, 3*h*dh): q of head i is
         # column block i, k is h+i, v is 2h+i — the layout rope_attention's
         # index maps address directly.
-        qkv = ln_matmul(
-            x, ln1_s, ln1_b,
-            qkv_k.reshape(cfg.d_model, 3 * h * dh).astype(dt),
-            qkv_b.reshape(3 * h * dh).astype(dt),
-        )
+        qkv_flat_k = qkv_k.reshape(cfg.d_model, 3 * h * dh)
+        qkv_flat_b = qkv_b.reshape(3 * h * dh)
+        if cfg.int8:
+            w_i8, s_col = quantize_weight(qkv_flat_k)
+            qkv = ln_matmul_q(x, ln1_s, ln1_b, w_i8, s_col, qkv_flat_b)
+        else:
+            qkv = ln_matmul(
+                x, ln1_s, ln1_b, qkv_flat_k.astype(dt), qkv_flat_b.astype(dt)
+            )
         attn = rope_attention(qkv, lengths, h, cfg.local_window)
         x = x + (attn @ out_k.astype(dt) + out_b.astype(dt)).astype(dt)
+        if cfg.int8:
+            w1_i8, s1 = quantize_weight(ff1_k)
+            w2_i8, s2 = quantize_weight(ff2_k)
+            return ln_ffn_q(
+                x, ln2_s, ln2_b, w1_i8, s1, ff1_b, w2_i8, s2, ff2_b
+            )
         return ln_ffn(
             x, ln2_s, ln2_b,
             ff1_k.astype(dt), ff1_b.astype(dt),

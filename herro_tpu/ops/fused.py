@@ -35,6 +35,10 @@ NEG_INF = -1e30
 
 
 def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("HERRO_TPU_PALLAS", "1") == "0":
+        return False
     return jax.default_backend() not in ("cpu",)
 
 
@@ -233,6 +237,172 @@ ln_ffn.defvjp(_ln_ffn_fwd, _ln_ffn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# int8 variants: dynamic per-row activation quantization, per-column weight
+# quantization, int8xint8->int32 on the MXU (v5e: 2x the bf16 MXU rate and
+# half the HBM bytes on the weight/activation streams). Inference-only —
+# training stays bf16 (the custom_vjp twins of the bf16 ops are used there).
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(w) -> tuple:
+    """Per-output-channel symmetric int8: w [d, f] -> (w_i8 [d, f], s [f])."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    w_i8 = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return w_i8, s
+
+
+def _quant_rows(y):
+    """Per-row symmetric int8 of f32 y [T, d] -> (y_i8, s_row [T, 1])."""
+    s = jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    y_i8 = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    return y_i8, s
+
+
+def _int8_mm(y_i8, s_row, w_i8, s_col):
+    """(int8, int8) -> f32: int32 MXU accumulate then dequantize."""
+    acc = jax.lax.dot_general(
+        y_i8,
+        w_i8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s_row * s_col
+
+
+def _ln_matmul_q_kernel(x_ref, scale_ref, bias_ref, w_ref, s_ref, b_ref, o_ref):
+    y = layernorm(x_ref[...], scale_ref[0], bias_ref[0]).astype(jnp.float32)
+    y_i8, s_row = _quant_rows(y)
+    o = _int8_mm(y_i8, s_row, w_ref[...], s_ref[0]) + b_ref[...].astype(
+        jnp.float32
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _ln_matmul_q_jnp(x, scale, bias, w_i8, s_col, b):
+    y = layernorm(x, scale, bias).astype(jnp.float32)
+    y_i8, s_row = _quant_rows(y)
+    return (_int8_mm(y_i8, s_row, w_i8, s_col) + b.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _ln_matmul_q_pallas(x, scale, bias, w_i8, s_col, b, blk_t: int = 512):
+    T, d = x.shape
+    f = w_i8.shape[1]
+    assert T % blk_t == 0, (T, blk_t)
+    return pl.pallas_call(
+        _ln_matmul_q_kernel,
+        grid=(T // blk_t,),
+        in_specs=[
+            pl.BlockSpec((blk_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk_t, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, f), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * d * f,
+            bytes_accessed=T * d * x.dtype.itemsize + T * f * x.dtype.itemsize
+            + d * f,
+            transcendentals=0,
+        ),
+    )(x, scale[None, :], bias[None, :], w_i8, s_col[None, :], b[None, :])
+
+
+def ln_matmul_q(x, scale, bias, w_i8, s_col, b):
+    """int8 LayerNorm+matmul: LN in f32, per-row dynamic int8 activations,
+    per-column int8 weights, int32 MXU accumulate. Inference only (no vjp)."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    xf = x.reshape(-1, d)
+    T = xf.shape[0]
+    if _use_pallas() and T % 512 == 0:
+        out = _ln_matmul_q_pallas(xf, scale, bias, w_i8, s_col, b)
+    else:
+        out = _ln_matmul_q_jnp(xf, scale, bias, w_i8, s_col, b)
+    return out.reshape(*lead, w_i8.shape[1])
+
+
+def _ln_ffn_q_kernel(
+    x_ref, scale_ref, bias_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref,
+):
+    x = x_ref[...]
+    y = layernorm(x, scale_ref[0], bias_ref[0]).astype(jnp.float32)
+    y_i8, s_row = _quant_rows(y)
+    h = _int8_mm(y_i8, s_row, w1_ref[...], s1_ref[0]) + b1_ref[...].astype(
+        jnp.float32
+    )
+    h = jax.nn.gelu(h.astype(x.dtype)).astype(jnp.float32)
+    h_i8, hs_row = _quant_rows(h)
+    o = _int8_mm(h_i8, hs_row, w2_ref[...], s2_ref[0]) + b2_ref[...].astype(
+        jnp.float32
+    )
+    o_ref[...] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
+
+
+def _ln_ffn_q_jnp(x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2):
+    y = layernorm(x, scale, bias).astype(jnp.float32)
+    y_i8, s_row = _quant_rows(y)
+    h = _int8_mm(y_i8, s_row, w1_i8, s1) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h.astype(x.dtype)).astype(jnp.float32)
+    h_i8, hs_row = _quant_rows(h)
+    o = _int8_mm(h_i8, hs_row, w2_i8, s2) + b2.astype(jnp.float32)
+    return (x.astype(jnp.float32) + o).astype(x.dtype)
+
+
+def _ln_ffn_q_pallas(x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2,
+                     blk_t: int = 256):
+    T, d = x.shape
+    f = w1_i8.shape[1]
+    assert T % blk_t == 0, (T, blk_t)
+    return pl.pallas_call(
+        _ln_ffn_q_kernel,
+        grid=(T // blk_t,),
+        in_specs=[
+            pl.BlockSpec((blk_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * d * f,
+            bytes_accessed=2 * T * d * x.dtype.itemsize + 2 * d * f,
+            transcendentals=T * f,
+        ),
+    )(
+        x, scale[None, :], bias[None, :], w1_i8, s1[None, :], b1[None, :],
+        w2_i8, s2[None, :], b2[None, :],
+    )
+
+
+def ln_ffn_q(x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2):
+    """int8 pre-norm FFN block with residual. Inference only."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    xf = x.reshape(-1, d)
+    T = xf.shape[0]
+    if _use_pallas() and T % 256 == 0:
+        out = _ln_ffn_q_pallas(xf, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2)
+    else:
+        out = _ln_ffn_q_jnp(xf, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2)
+    return out.reshape(*lead, d)
+
+
+# ---------------------------------------------------------------------------
 # rope_attention: flash attention over the flat qkv buffer with in-kernel
 # rotary embedding.
 # ---------------------------------------------------------------------------
@@ -246,9 +416,10 @@ def _rope_rotate(x, pos2d, d_half: int):
     real-column positions equal absolute positions). 2-D iota/position form
     because TPU pallas only supports >=2-D iota.
     """
+    # integer iota then convert: mosaic's tpu.iota only produces integers
     freq = jnp.exp(
         -math.log(10000.0)
-        * jax.lax.broadcasted_iota(jnp.float32, (1, d_half), 1)
+        * jax.lax.broadcasted_iota(jnp.int32, (1, d_half), 1).astype(jnp.float32)
         / d_half
     )
     ang = pos2d.astype(jnp.float32) * freq  # [T, d_half]

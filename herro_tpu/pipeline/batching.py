@@ -197,26 +197,66 @@ def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Ba
 
 
 class BucketBatcher:
-    """Accumulates windows per (L, S) bucket; emits full batches."""
+    """Accumulates windows per (L, S) bucket; emits full batches.
 
-    def __init__(self, spec: BucketSpec, batch_size: int):
+    ``max_staged`` bounds the total number of windows staged across all
+    partial buckets: when an ``add`` pushes the total past the bound, the
+    *oldest* partial bucket (by arrival of its first window) is emitted as a
+    padded partial batch. Unbounded staging is a real liability at assembly
+    scale — a window could otherwise sit in a rare (L, S) bucket until the
+    end-of-run flush while its read's finished decisions pile up in the
+    consensus accumulator (the reference streams strictly and never stages
+    more than one batch per device, src/inference.rs:177-211). Age-based
+    (rather than biggest-first) eviction also bounds *read latency*, which is
+    what caps the consensus accumulator's pending set. Output bytes are
+    invariant: windows are decided independently, padding rows are discarded
+    on unpack.
+    """
+
+    def __init__(
+        self,
+        spec: BucketSpec,
+        batch_size: int,
+        max_staged: int | None = None,
+    ):
         self.spec = spec
         self.batch_size = batch_size
+        if max_staged is None:
+            max_staged = 8 * batch_size
+        # always allow at least one full bucket to accumulate
+        self.max_staged = max(max_staged, batch_size)
         self._pending: dict[tuple[int, int], list[WindowTensors]] = {}
+        self._born: dict[tuple[int, int], int] = {}  # bucket -> first-add tick
+        self._tick = 0
+        self._n_staged = 0
+        self.n_partial_flushes = 0  # diagnostic
+
+    @property
+    def n_staged(self) -> int:
+        return self._n_staged
+
+    def _emit(self, key: tuple[int, int]) -> Batch:
+        ws = self._pending.pop(key)
+        del self._born[key]
+        self._n_staged -= len(ws)
+        return collate(ws, key[0], key[1], self.batch_size)
 
     def add(self, w: WindowTensors) -> Batch | None:
         key = self.spec.bucket_for(w.length, w.n_supported)
         pend = self._pending.setdefault(key, [])
+        if not pend:
+            self._born[key] = self._tick
+        self._tick += 1
         pend.append(w)
+        self._n_staged += 1
         if len(pend) == self.batch_size:
-            del self._pending[key]
-            return collate(pend, key[0], key[1], self.batch_size)
+            return self._emit(key)
+        if self._n_staged > self.max_staged:
+            self.n_partial_flushes += 1
+            oldest = min(self._born, key=self._born.get)
+            return self._emit(oldest)
         return None
 
     def flush(self) -> list[Batch]:
-        out = [
-            collate(ws, L, S, self.batch_size)
-            for (L, S), ws in self._pending.items()
-        ]
-        self._pending.clear()
+        out = [self._emit(key) for key in list(self._pending)]
         return out

@@ -211,6 +211,7 @@ def run_correction(
     counting_output_path: str | None = None,
     feat_procs: int = 0,
     featgen_pool=None,
+    max_staged_windows: int | None = None,
 ) -> int:
     """Correct every read of ``aln_source``; returns #reads written.
 
@@ -251,7 +252,12 @@ def run_correction(
             )
 
     spec = bucket_spec or BucketSpec()
-    batcher = BucketBatcher(spec, batch_size)
+    # max_staged_windows bounds pipeline memory: see BucketBatcher — a
+    # partial (L, S) bucket is flushed (padded) once the staged-window total
+    # crosses the bound, oldest bucket first, keeping both the staged
+    # WindowTensors and the consensus accumulator's pending reads bounded
+    # for the whole run instead of growing until the end-of-run flush.
+    batcher = BucketBatcher(spec, batch_size, max_staged=max_staged_windows)
     n_written = 0
     write_lock = threading.Lock()
     timers = timers if timers is not None else StageTimers()

@@ -88,7 +88,12 @@ class CorrectionRunner:
         collect_info: bool = False,
         counting_only: bool = False,
         collect_counting: bool = False,
+        int8: bool | None = None,
     ):
+        if int8 is not None and int8 != cfg.int8:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, int8=int8)
         self.cfg = cfg
         self.mesh = mesh
         self.collect_info = collect_info

@@ -324,6 +324,7 @@ def evaluate(
     with_baseline: bool = False,
     shuffle_quals: bool = False,
     qual_mode: str = "informative",
+    int8: bool | None = None,
 ) -> EvalResult:
     """Evaluate a checkpoint (or a decode mode) on a fresh simulation.
 
@@ -375,6 +376,7 @@ def evaluate(
                 params,
                 counting_only=(mode == "counting"),
                 collect_counting=with_baseline,
+                int8=int8,
             )
             run_correction(
                 reads,

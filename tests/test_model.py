@@ -83,3 +83,38 @@ def test_checkpoint_roundtrip(tmp_path, params):
     tree_b = jax.tree_util.tree_leaves(loaded)
     for a, b in zip(tree_a, tree_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_close_to_bf16(params):
+    """The int8-quantized forward (dynamic per-row activations, per-channel
+    weights) must track the bf16 forward closely: same argmax decode on the
+    overwhelming majority of columns, small logit deviation."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    bases, quals, sidx, smask = _inputs(rng, B=4, L=64, S=16)
+    model = CorrectionModel(TINY_CONFIG)
+    cfg_q = dataclasses.replace(TINY_CONFIG, int8=True)
+    model_q = CorrectionModel(cfg_q)
+
+    info, logits = model.apply(params, bases, quals, sidx, smask)
+    info_q, logits_q = model_q.apply(params, bases, quals, sidx, smask)
+    logits, logits_q = np.asarray(logits), np.asarray(logits_q)
+
+    agree = np.mean(np.argmax(logits, -1) == np.argmax(logits_q, -1))
+    assert agree >= 0.95, agree
+    err = np.max(np.abs(logits - logits_q))
+    assert err < 1.5, err  # quantization noise, not a broken path
+
+
+def test_int8_quantize_weight_roundtrip():
+    from herro_tpu.ops.fused import quantize_weight
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.05, size=(32, 48)), dtype=jnp.float32)
+    w_i8, s = quantize_weight(w)
+    assert w_i8.dtype == jnp.int8
+    back = np.asarray(w_i8, dtype=np.float32) * np.asarray(s)
+    # per-channel max maps to +-127 exactly; everything within half a step
+    step = np.asarray(s)
+    assert np.all(np.abs(back - np.asarray(w)) <= step * 0.5 + 1e-9)

@@ -1,0 +1,242 @@
+"""On-chip ablation of the row-major fused step (round 3).
+
+Times (a) the full correct_step, (b) structural variants with one component
+removed, and (c) each fused op standalone at layer shapes — all with the
+DCE/memoization-proof chained methodology from bench._chip_only.
+
+    python tools/ablate_fused.py [B] [L] [S]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from herro_tpu.constants import N_ROWS, QUAL_OFFSET, QUAL_SCALE, TOKEN_PAD, VOCAB_SIZE
+from herro_tpu.models.model import R10_CONFIG, CorrectionModel, init_params
+from herro_tpu.ops import fused
+from herro_tpu.ops.consensus import count_decisions_jnp
+from herro_tpu.pipeline.batching import unpack_tokens_jnp
+from __graft_entry__ import _example_batch
+
+
+def _time_chained(f, args, n, label):
+    """Compile f(*args) (a chained n-iteration program) and time the second
+    dispatch on distinct data."""
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(f)(*args[0]))
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(f)(*args[1]))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label:34s} {dt*1e3:8.2f} ms/iter  [compile+warm {tc:.0f}s]", flush=True)
+    return dt
+
+
+def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
+                 entry=True, layers=None, label=""):
+    cfg = R10_CONFIG
+    model = CorrectionModel(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    n_layers = cfg.n_layers if layers is None else layers
+
+    import flax.linen as nn
+
+    from herro_tpu.models.model import Block, _LNParams
+
+    def fwd(params, tokens, quals, sidx, smask):
+        # re-implement CorrectionModel.__call__ with toggles, reusing params
+        cfg_ = cfg
+        dt = cfg_.compute_dtype
+        Bb, R, Ll = tokens.shape
+        V1 = VOCAB_SIZE + 1
+
+        p = params["params"]
+        ck = p["col_proj"]["kernel"]
+        cb = p["col_proj"]["bias"]
+        idx = np.arange(R * V1).reshape(R, V1)
+        w_emb = ck[idx[:, :VOCAB_SIZE].reshape(-1)].astype(dt)
+        w_q = ck[idx[:, VOCAB_SIZE]].astype(dt)
+
+        if entry:
+            onehot = (
+                tokens[:, :, None, :]
+                == jnp.arange(VOCAB_SIZE, dtype=tokens.dtype)[None, None, :, None]
+            ).astype(dt)
+            m = onehot.reshape(Bb, R * VOCAB_SIZE, Ll)
+            x = jax.lax.dot_general(
+                m, w_emb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            x = x + jax.lax.dot_general(
+                quals.astype(dt), w_q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            x = (x + cb).astype(dt)
+        else:
+            x = jnp.zeros((Bb, Ll, cfg_.d_model), dt) + quals[:, 0, :, None].astype(dt)
+
+        mask = tokens[:, 0, :] != TOKEN_PAD
+        lengths = mask.astype(jnp.int32).sum(axis=1)
+
+        h, dh = cfg_.n_heads, cfg_.d_model // cfg_.n_heads
+        for i in range(n_layers):
+            bp = p[f"block_{i}"]
+            ln1_s, ln1_b = bp["ln1"]["scale"], bp["ln1"]["bias"]
+            qkv_k, qkv_b = bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"]
+            out_k, out_b = bp["attn"]["out"]["kernel"], bp["attn"]["out"]["bias"]
+            if attn:
+                qkv = fused.ln_matmul(
+                    x, ln1_s, ln1_b,
+                    qkv_k.reshape(cfg_.d_model, 3 * h * dh).astype(dt),
+                    qkv_b.reshape(3 * h * dh).astype(dt),
+                )
+                a = fused.rope_attention(qkv, lengths, h, cfg_.local_window)
+                x = x + (a @ out_k.astype(dt) + out_b.astype(dt)).astype(dt)
+            if ffn:
+                x = fused.ln_ffn(
+                    x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                    bp["ff1"]["kernel"].astype(dt), bp["ff1"]["bias"].astype(dt),
+                    bp["ff2"]["kernel"].astype(dt), bp["ff2"]["bias"].astype(dt),
+                )
+        # final LN + heads
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = y * p["ln_f"]["scale"] + p["ln_f"]["bias"]
+        g = jnp.take_along_axis(y.astype(dt), sidx[..., None], axis=1).astype(
+            jnp.float32
+        )
+        logits = g @ p["bases_head"]["kernel"] + p["bases_head"]["bias"]
+        info = (g @ p["info_head"]["kernel"] + p["info_head"]["bias"])[..., 0]
+        return info, logits
+
+    def chained(params, tok, quals, sidx, smask, n_alns):
+        def body(i, t):
+            tokens = unpack_tokens_jnp(t, N_ROWS)
+            q = QUAL_SCALE * quals.astype(jnp.float32) - QUAL_OFFSET
+            info, logits = fwd(params, tokens, q, sidx, smask)
+            classes = jnp.argmax(logits, -1).astype(jnp.uint8)
+            mix = (
+                jnp.sum(classes.astype(jnp.int32), axis=1)
+                + jnp.sum(info.astype(jnp.float32), axis=1).astype(jnp.int32)
+            )
+            if counting:
+                dec = count_decisions_jnp(tokens, n_alns)
+                mix = mix + jnp.sum(dec.astype(jnp.int32), axis=1)
+            mix = (mix % 13).astype(jnp.uint8)
+            t = t.at[:, 2, 0].set(mix)
+            t = t.at[:, 1, :].set(
+                ((t[:, 1, :].astype(jnp.int32) + i + 1) % 251).astype(jnp.uint8)
+            )
+            return t
+        return jax.lax.fori_loop(0, n, body, tok)
+
+    sets = []
+    for seed in (3, 4):
+        arrs = _example_batch(B, L, S, seed=seed)
+        sets.append([params] + [jax.device_put(jnp.asarray(x)) for x in arrs])
+    return _time_chained(chained, sets, n, label)
+
+
+def op_standalone(which, B, L, n=20):
+    """One fused op chained at layer shapes."""
+    cfg = R10_CONFIG
+    dt = jnp.bfloat16
+    d, f = cfg.d_model, cfg.d_ff
+    h = cfg.n_heads
+    rng = np.random.default_rng(0)
+
+    def mk(shape, scale=0.02):
+        return jnp.asarray(rng.normal(0, scale, shape), dtype=dt)
+
+    if which == "ln_matmul_qkv":
+        w = mk((d, 3 * d)); b = mk((3 * d,))
+        s = jnp.ones((d,), jnp.float32); bb = jnp.zeros((d,), jnp.float32)
+
+        def chained(x):
+            def body(i, x):
+                y = fused.ln_matmul(x, s, bb, w, b)
+                return x + y[..., :d] * jnp.float32(1e-3).astype(dt) + (
+                    i % 7
+                ).astype(dt) * 1e-6
+            return jax.lax.fori_loop(0, n, body, x)
+    elif which == "ln_ffn":
+        w1 = mk((d, f)); b1 = mk((f,))
+        w2 = mk((f, d)); b2 = mk((d,))
+        s = jnp.ones((d,), jnp.float32); bb = jnp.zeros((d,), jnp.float32)
+
+        def chained(x):
+            def body(i, x):
+                return fused.ln_ffn(x, s, bb, w1, b1, w2, b2) + (
+                    i % 7
+                ).astype(dt) * 1e-6
+            return jax.lax.fori_loop(0, n, body, x)
+    elif which == "attention":
+        lengths = jnp.full((B,), L, jnp.int32)
+
+        def chained(x):
+            def body(i, x):
+                qkv = jnp.concatenate([x, x, x], axis=-1)
+                a = fused.rope_attention(qkv, lengths, h, cfg.local_window)
+                return x + a * jnp.float32(1e-3).astype(dt) + (i % 7).astype(
+                    dt
+                ) * 1e-6
+            return jax.lax.fori_loop(0, n, body, x)
+    elif which == "counting":
+        def chained(tok):
+            def body(i, t):
+                dec = count_decisions_jnp(t, jnp.full((B,), 30, jnp.int32))
+                return t.at[:, 0, :].set(dec)
+            return jax.lax.fori_loop(0, n, body, tok)
+
+        sets = []
+        for seed in (3, 4):
+            r = np.random.default_rng(seed)
+            sets.append([jnp.asarray(r.integers(0, 12, (B, N_ROWS, L), dtype=np.uint8))])
+        return _time_chained(chained, sets, n, which)
+
+    sets = []
+    for seed in (3, 4):
+        r = np.random.default_rng(seed)
+        sets.append([jnp.asarray(r.normal(0, 1, (B, L, d)), dtype=dt)])
+    return _time_chained(chained, sets, n, which)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    L = int(sys.argv[2]) if len(sys.argv) > 2 else 4608
+    S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    print(f"fused ablation B={B} L={L} S={S} backend={jax.default_backend()}",
+          flush=True)
+
+    full = step_variant(B, L, S, label="full step")
+    no_cnt = step_variant(B, L, S, counting=False, label="no counting")
+    no_attn = step_variant(B, L, S, attn=False, counting=False, label="no attention(+ln_mm)")
+    no_ffn = step_variant(B, L, S, ffn=False, counting=False, label="no ffn")
+    zero_layers = step_variant(B, L, S, layers=0, counting=False, label="0 layers (entry+heads)")
+    no_entry = step_variant(B, L, S, entry=False, counting=False, label="no entry embed")
+
+    print("-- standalone ops (per iteration at step shapes) --", flush=True)
+    op_standalone("ln_matmul_qkv", B, L)
+    op_standalone("ln_ffn", B, L)
+    op_standalone("attention", B, L)
+    op_standalone("counting", B, L)
+
+    print(f"\ncounting = {(full - no_cnt)*1e3:.2f} ms")
+    print(f"attention stack = {(no_cnt - no_attn)*1e3:.2f} ms")
+    print(f"ffn stack = {(no_cnt - no_ffn)*1e3:.2f} ms")
+    print(f"entry = {(no_cnt - no_entry)*1e3:.2f} ms; entry+heads = {zero_layers*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

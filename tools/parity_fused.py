@@ -83,6 +83,39 @@ def parity():
         print(f"rope_attn   local_window={lw}  rel_err {e:.4f}")
         assert e < 0.08, e
 
+    # int8 kernels: pallas vs jnp twin (identical int32 math -> tight), and
+    # int8 vs the bf16 op (quantization error must stay small)
+    w_i8, s_col = fused.quantize_weight(w)
+    out_qp = np.asarray(
+        jax.jit(fused._ln_matmul_q_pallas)(x, scale, bias, w_i8, s_col, b)
+    )
+    out_qj = np.asarray(
+        jax.jit(fused._ln_matmul_q_jnp)(x, scale, bias, w_i8, s_col, b)
+    )
+    e = _rel_err(out_qp, out_qj)
+    print(f"ln_matmul_q pallas-vs-twin rel_err {e:.4f}")
+    assert e < 0.02, e
+    eq = _rel_err(out_qj, out_j := np.asarray(
+        jax.jit(fused._ln_matmul_jnp)(x, scale, bias, w, b)
+    ))
+    print(f"ln_matmul_q int8-vs-bf16   rel_err {eq:.4f}")
+
+    w1_i8, s1 = fused.quantize_weight(w1)
+    w2_i8, s2 = fused.quantize_weight(w2)
+    out_qp = np.asarray(
+        jax.jit(fused._ln_ffn_q_pallas)(
+            x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2
+        )
+    )
+    out_qj = np.asarray(
+        jax.jit(fused._ln_ffn_q_jnp)(
+            x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2
+        )
+    )
+    e = _rel_err(out_qp, out_qj)
+    print(f"ln_ffn_q    pallas-vs-twin rel_err {e:.4f}")
+    assert e < 0.02, e
+
     # full model forward: pallas path vs jnp twins, same params/inputs
     from herro_tpu.models.model import R10_CONFIG, CorrectionModel, init_params
     from herro_tpu.constants import N_ROWS, TOKEN_PAD
