@@ -81,9 +81,12 @@ def _device_only(batch_size: int, L: int, S: int, iters: int) -> float:
     return batch_size * iters / dt
 
 
-def _chip_only(batch_size: int, L: int, S: int, n: int = 10) -> float:
+def _chip_only(batch_size: int, L: int, S: int, n: int = 10,
+               int8: bool = False) -> float:
     """On-chip windows/s of the fused step: n data-dependent iterations
     chained inside one jit, one dispatch, one (tiny) fetch."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +94,7 @@ def _chip_only(batch_size: int, L: int, S: int, n: int = 10) -> float:
     from herro_tpu.pipeline.infer import make_correct_step
     from __graft_entry__ import _example_batch
 
-    cfg = R10_CONFIG
+    cfg = dataclasses.replace(R10_CONFIG, int8=int8)
     params = init_params(cfg, jax.random.PRNGKey(0))
     step = make_correct_step(cfg)
 

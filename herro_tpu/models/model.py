@@ -152,12 +152,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, lengths):
         from ..ops.fused import (
+            attention_block,
+            attention_block_q,
             ln_ffn,
             ln_ffn_q,
-            ln_matmul,
-            ln_matmul_q,
             quantize_weight,
-            rope_attention,
         )
 
         cfg = self.cfg
@@ -175,19 +174,17 @@ class Block(nn.Module):
         )()
 
         # (d, 3, h, dh) flattens c-major to (d, 3*h*dh): q of head i is
-        # column block i, k is h+i, v is 2h+i — the layout rope_attention's
-        # index maps address directly.
-        qkv_flat_k = qkv_k.reshape(cfg.d_model, 3 * h * dh)
-        qkv_flat_b = qkv_b.reshape(3 * h * dh)
-        if cfg.int8:
-            w_i8, s_col = quantize_weight(qkv_flat_k)
-            qkv = ln_matmul_q(x, ln1_s, ln1_b, w_i8, s_col, qkv_flat_b)
-        else:
-            qkv = ln_matmul(
-                x, ln1_s, ln1_b, qkv_flat_k.astype(dt), qkv_flat_b.astype(dt)
-            )
-        attn = rope_attention(qkv, lengths, h, cfg.local_window)
-        x = x + (attn @ out_k.astype(dt) + out_b.astype(dt)).astype(dt)
+        # column block i, k is h+i, v is 2h+i — the slicing attention_block's
+        # qkv kernel uses. The out projection reshapes to per-head slices.
+        attn_fn = attention_block_q if cfg.int8 else attention_block
+        x = attn_fn(
+            x, ln1_s, ln1_b,
+            qkv_k.reshape(cfg.d_model, 3 * h * dh).astype(dt),
+            qkv_b.reshape(3 * h * dh).astype(dt),
+            out_k.reshape(h, dh, cfg.d_model).astype(dt),
+            out_b.astype(dt),
+            lengths, h, cfg.local_window,
+        )
         if cfg.int8:
             w1_i8, s1 = quantize_weight(ff1_k)
             w2_i8, s2 = quantize_weight(ff2_k)
@@ -225,31 +222,21 @@ class CorrectionModel(nn.Module):
         # col_proj is a dense over the per-column feature vector
         # concat_r(one_hot(base_r), qual_r) — kernel rows are ordered
         # r*(V+1)+v for the one-hot part and r*(V+1)+V for the qual scalar.
-        # Evaluate it as two lane-aligned contractions instead of
-        # materialising the [B, L, R*(V+1)] concat (minor dim 13 lane-pads
-        # 10x on TPU): x = M[B,R*V,L] . W_emb[R*V,d] + quals[B,R,L] . W_q[R,d].
+        # Evaluated by the fused entry kernel as two lane-aligned
+        # contractions (the one-hot only ever exists in VMEM; a [B, L,
+        # R*(V+1)] concat would lane-pad its 13-wide minor dim 10x on TPU).
+        from ..ops.fused import entry_embed
+
         ck, cb = _DenseParams(
             (R * V1, cfg.d_model), (cfg.d_model,), name="col_proj"
         )()
         idx = np.arange(R * V1).reshape(R, V1)
-        w_emb = ck[idx[:, :VOCAB_SIZE].reshape(-1)].astype(dt)  # [R*V, d]
-        w_q = ck[idx[:, VOCAB_SIZE]].astype(dt)  # [R, d]
-
-        onehot = (
-            bases[:, :, None, :] == jnp.arange(VOCAB_SIZE, dtype=bases.dtype)[None, None, :, None]
-        ).astype(dt)  # [B, R, V, L] — L stays minor, everything lane-aligned
-        m = onehot.reshape(B, R * VOCAB_SIZE, L)
-        x = jax.lax.dot_general(
-            m, w_emb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        w_embT = ck[idx[:, :VOCAB_SIZE].reshape(-1)].T.astype(dt)  # [d, R*V]
+        w_qT = ck[idx[:, VOCAB_SIZE]].T.astype(dt)  # [d, R]
+        x = entry_embed(
+            bases, quals.astype(jnp.float32), w_embT, w_qT,
+            cb.astype(jnp.float32), dt,
         )  # [B, L, d]
-        x = x + jax.lax.dot_general(
-            quals.astype(dt), w_q,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        x = (x + cb).astype(dt)  # [B, L, d]
 
         # Padding is always a suffix, so a per-example length suffices (and
         # positions are a static arange inside the attention op).

@@ -66,6 +66,17 @@ def count_decisions_jnp(tokens: jnp.ndarray, n_alns: jnp.ndarray) -> jnp.ndarray
     return jnp.where(keep_target, tbase, c0).astype(jnp.uint8)
 
 
+def count_decisions(tokens: jnp.ndarray, n_alns: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatcher: the pallas kernel on TPU (one VMEM pass; the XLA
+    formulation costs ~23 ms at B=64 L=4608 on u8 promotions and repeated
+    [B, R, L] traversals), the jnp formulation elsewhere."""
+    from .fused import _use_pallas, count_decisions_pallas
+
+    if _use_pallas() and tokens.shape[2] % 512 == 0:
+        return count_decisions_pallas(tokens, n_alns)
+    return count_decisions_jnp(tokens, n_alns)
+
+
 def count_decisions_np(tokens: np.ndarray, n_alns: int) -> np.ndarray:
     """Numpy twin of :func:`count_decisions_jnp` for one window [L, R]."""
     cls = TOKEN_TO_CLASS[tokens].astype(np.int32)

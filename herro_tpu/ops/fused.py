@@ -1,24 +1,30 @@
 """Fused device kernels for the correction transformer.
 
-Round-3 on-chip ablation (tools/ablate_r3.py) showed the step was NOT
-matmul-bound: of ~12.6 ms/layer at B=64 L=4608, the qkv/out projections were
-2.4 ms and the FFN 2.7 ms — the other ~7.5 ms was pure layout traffic
-(BLHD<->BHLD transposes, per-example rope tables materialised in HBM, qkv
-slice copies), plus a 29 ms entry block dominated by lane-padded minor dims
-(31 and 13 pad to 128 lanes on TPU). These kernels remove that traffic:
+Kernel set shaped by the round-3 on-chip ablations (tools/ablate_fused.py on
+real v5e silicon — interpret-mode numbers lie):
 
-* ``ln_matmul``   — LayerNorm + matmul in one pass (the qkv projection);
-* ``ln_ffn``      — LayerNorm + FFN + residual in one pass: the hidden
+* ``entry_embed``     — pileup tokens + quals -> d_model stream; the one-hot
+  only ever exists in VMEM (the XLA formulation burned ~15 ms of HBM traffic
+  materialising a [B, R, V, L] bf16 one-hot at B=64 L=4608);
+* ``attention_block`` — ln_qkv_rope (LN + qkv matmul + rotary epilogue,
+  emitting contiguous per-head [B, H, L, D] buffers) + flash_outproj (flash
+  attention + out projection + residual, the per-head projections
+  accumulating in a VMEM-resident output block). Replaces a flat-qkv-buffer
+  kernel whose strided 256-byte head-slice DMAs and per-visit K rope made
+  the attention stack ~13 ms/layer;
+* ``ln_ffn``          — LayerNorm + FFN + residual in one pass: the hidden
   activations never touch HBM;
-* ``rope_attention`` — flash attention reading q/k/v straight out of the
-  flat ``[B, L, 3*H*D]`` qkv buffer via block index maps (no transposes, no
-  slice copies) with rotary embedding applied *inside* the kernel from
-  position iota (positions are a static arange because padding is always a
-  suffix — the pileup-column invariant).
+* ``count_decisions_pallas`` — the counting consensus rule in one VMEM pass
+  (~23 ms as XLA ops at B=64 L=4608);
+* int8 variants (``attention_block_q``, ``ln_ffn_q``) — dynamic per-row
+  activation + per-channel weight quantization, int32 MXU accumulate:
+  2x the MXU rate and half the matmul HBM bytes on v5e. Inference-only.
 
-Every op has a pure-jnp twin (CPU fallback + parity oracle) and a
-custom_vjp whose backward recomputes through the twin, so the fused
-forwards are usable in training too.
+Every op has a pure-jnp twin (CPU fallback + parity oracle); the
+differentiable ops carry a custom_vjp whose backward recomputes through the
+twin, so the fused forwards are usable in training too. Positions for the
+rotary embedding are always the absolute column index — padding is a suffix
+(the pileup-column invariant).
 """
 
 from __future__ import annotations
@@ -64,87 +70,212 @@ def layernorm(x, scale, bias, eps: float = 1e-6):
 # ---------------------------------------------------------------------------
 
 
-def _ln_matmul_kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref):
-    y = layernorm(x_ref[...], scale_ref[0], bias_ref[0])
-    o_ref[...] = (
-        jax.lax.dot_general(
-            y,
-            w_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b_ref[...].astype(jnp.float32)
-    ).astype(o_ref.dtype)
-
-
 def _ln_matmul_jnp(x, scale, bias, w, b):
     y = layernorm(x, scale, bias)
     return (y @ w + b).astype(x.dtype)
 
 
-def _ln_matmul_pallas(x, scale, bias, w, b, blk_t: int = 512):
-    T, d = x.shape
-    f = w.shape[1]
-    n = T // blk_t
-    assert T % blk_t == 0, (T, blk_t)
+# ---------------------------------------------------------------------------
+# entry_embed: pileup tokens + quals -> d_model stream, one pass.
+#
+# The XLA formulation materialises the one-hot [B, R, V, L] in bf16 (~220 MB
+# at B=64 L=4608) just to feed the embedding contraction — ~15 ms of pure
+# HBM traffic (tools/ablate_fused.py "0 layers"). Here the one-hot lives
+# only in VMEM per column block; HBM sees tokens (u8), quals and the
+# finished [B, L, d] stream.
+# ---------------------------------------------------------------------------
+
+
+def _entry_embed_kernel(
+    tok_ref,  # VMEM [1, R, blk_l] u8
+    qual_ref,  # VMEM [1, R, blk_l] f32
+    w_emb_ref,  # VMEM [d, R*V] (transposed embedding table)
+    wq_ref,  # VMEM [d, R]
+    cb_ref,  # VMEM [1, d]
+    o_ref,  # VMEM [1, blk_l, d]
+    *,
+    vocab: int,
+):
+    tok = tok_ref[0].astype(jnp.int32)  # [R, blk_l]
+    R, blk_l = tok.shape
+    onehot = (
+        tok[:, None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, vocab, 1), 1)
+    ).astype(o_ref.dtype)  # [R, V, blk_l]
+    onehot = onehot.reshape(R * vocab, blk_l)
+    xT = jax.lax.dot_general(
+        w_emb_ref[...], onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [d, blk_l]
+    xT = xT + jax.lax.dot_general(
+        wq_ref[...], qual_ref[0].astype(o_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xT = xT + cb_ref[0][:, None].astype(jnp.float32)
+    o_ref[0] = xT.T.astype(o_ref.dtype)
+
+
+def _entry_embed_pallas(bases, quals, w_embT, w_qT, cb, out_dtype,
+                        blk_l: int = 512):
+    B, R, L = bases.shape
+    d = w_embT.shape[0]
+    vocab = w_embT.shape[1] // R
+    blk_l = min(blk_l, L)
+    assert L % blk_l == 0, (L, blk_l)
+    kernel = functools.partial(_entry_embed_kernel, vocab=vocab)
     return pl.pallas_call(
-        _ln_matmul_kernel,
-        grid=(n,),
+        kernel,
+        grid=(B, L // blk_l),
         in_specs=[
-            pl.BlockSpec((blk_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, blk_l), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, blk_l), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, R * vocab), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, R), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((blk_t, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, f), x.dtype),
+        out_specs=pl.BlockSpec(
+            (1, blk_l, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, d), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * d * f,
-            bytes_accessed=(T * d + T * f) * x.dtype.itemsize + d * f * 2,
+            flops=2 * B * L * d * R * (vocab + 1),
+            bytes_accessed=B * R * L * 5 + B * L * d * 2,
             transcendentals=0,
         ),
-    )(x, scale[None, :], bias[None, :], w, b[None, :])
+    )(bases, quals, w_embT, w_qT, cb[None, :])
 
 
-@jax.custom_vjp
-def ln_matmul(x, scale, bias, w, b):
-    """LayerNorm over the last dim then matmul. x [..., T, d] -> [..., T, f].
-
-    Leading dims are flattened; T*prod(lead) must divide into 512-token
-    blocks on the pallas path (guaranteed by the bucket ladder).
-    """
-    return _ln_matmul_impl(x, scale, bias, w, b)
-
-
-def _ln_matmul_impl(x, scale, bias, w, b):
-    lead = x.shape[:-1]
-    d = x.shape[-1]
-    xf = x.reshape(-1, d)
-    T = xf.shape[0]
-    if _use_pallas() and T % 512 == 0:
-        out = _ln_matmul_pallas(xf, scale, bias, w, b)
-    else:
-        out = _ln_matmul_jnp(xf, scale, bias, w, b)
-    return out.reshape(*lead, w.shape[1])
-
-
-def _ln_matmul_fwd(x, scale, bias, w, b):
-    return _ln_matmul_impl(x, scale, bias, w, b), (x, scale, bias, w, b)
-
-
-def _ln_matmul_bwd(res, g):
-    x, scale, bias, w, b = res
-    _, vjp = jax.vjp(
-        lambda *a: _ln_matmul_jnp(a[0].reshape(-1, x.shape[-1]), *a[1:]).reshape(
-            g.shape
-        ),
-        x, scale, bias, w, b,
+def _entry_embed_jnp(bases, quals, w_embT, w_qT, cb, out_dtype):
+    B, R, L = bases.shape
+    vocab = w_embT.shape[1] // R
+    dt = out_dtype
+    onehot = (
+        bases[:, :, None, :]
+        == jnp.arange(vocab, dtype=bases.dtype)[None, None, :, None]
+    ).astype(dt)  # [B, R, V, L]
+    m = onehot.reshape(B, R * vocab, L)
+    x = jax.lax.dot_general(
+        m, w_embT.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, L, d]
+    x = x + jax.lax.dot_general(
+        quals.astype(dt), w_qT.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return vjp(g)
+    return (x + cb).astype(dt)
 
 
-ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def entry_embed(bases, quals, w_embT, w_qT, cb, out_dtype):
+    """Column embedding: tokens u8 [B, R, L] + quals f32 [B, R, L] ->
+    x [B, L, d]. w_embT [d, R*V] is the transposed one-hot table (row order
+    r*V + v), w_qT [d, R] the per-row qual weights, cb [d] the bias."""
+    return _entry_embed_impl(bases, quals, w_embT, w_qT, cb, out_dtype)
+
+
+def _entry_embed_impl(bases, quals, w_embT, w_qT, cb, out_dtype):
+    if _use_pallas() and bases.shape[2] % 512 == 0:
+        return _entry_embed_pallas(bases, quals, w_embT, w_qT, cb, out_dtype)
+    return _entry_embed_jnp(bases, quals, w_embT, w_qT, cb, out_dtype)
+
+
+def _entry_embed_fwd(bases, quals, w_embT, w_qT, cb, out_dtype):
+    return _entry_embed_impl(bases, quals, w_embT, w_qT, cb, out_dtype), (
+        bases, quals, w_embT, w_qT, cb,
+    )
+
+
+def _entry_embed_bwd(out_dtype, res, g):
+    bases, quals, w_embT, w_qT, cb = res
+    _, vjp = jax.vjp(
+        lambda q_, we, wq, c: _entry_embed_jnp(bases, q_, we, wq, c, out_dtype),
+        quals, w_embT, w_qT, cb,
+    )
+    dq, dwe, dwq, dcb = vjp(g)
+    return None, dq, dwe, dwq, dcb
+
+
+entry_embed.defvjp(_entry_embed_fwd, _entry_embed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# count_decisions kernel: the counting consensus rule in one VMEM pass.
+# The XLA formulation costs ~23 ms at B=64 L=4608 (tools/ablate_fused.py)
+# on u8->i32 promotions and repeated [B, R, L] traversals.
+# ---------------------------------------------------------------------------
+
+
+def _count_kernel(nalns_ref, tok_ref, o_ref):
+    b = pl.program_id(0)
+    tok = tok_ref[0].astype(jnp.int32)  # [R, blk_l]
+    R, blk_l = tok.shape
+    cls = jnp.where(tok < 10, jax.lax.rem(tok, 5), 5)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, blk_l), 0)
+    valid = (row <= nalns_ref[b]) & (cls < 5)
+
+    counts = [
+        jnp.sum(
+            jnp.where(valid & (cls == c), 1, 0), axis=0, keepdims=True,
+            dtype=jnp.int32,
+        )
+        for c in range(5)
+    ]  # five [1, blk_l]
+
+    def top(cs):
+        best_c = jnp.zeros_like(cs[0])
+        best_v = cs[0]
+        for c in range(1, 5):
+            better = cs[c] > best_v
+            best_c = jnp.where(better, c, best_c)
+            best_v = jnp.maximum(best_v, cs[c])
+        return best_c, best_v
+
+    c0, mc0 = top(counts)
+    counts2 = [jnp.where(c0 == c, -1, counts[c]) for c in range(5)]
+    c1, mc1 = top(counts2)
+    tbase = cls[0:1, :]
+    keep = (mc0 < 2) | ((mc0 == mc1) & ((c0 == tbase) | (c1 == tbase)))
+    o_ref[0] = jnp.where(keep, tbase, c0).astype(jnp.uint8)
+
+
+def count_decisions_pallas(tokens, n_alns, blk_l: int = 512):
+    """Pallas twin of consensus.count_decisions_jnp: tokens u8 [B, R, L],
+    n_alns [B] -> [B, L] u8."""
+    B, R, L = tokens.shape
+    blk_l = min(blk_l, L)
+    assert L % blk_l == 0, (L, blk_l)
+    # out is [B, 1, L] (squeezed below): a 2-D [B, L] u8 block of height 1
+    # violates the (8, 128) min-tile rule, a (1, 1, blk) block does not.
+    out = pl.pallas_call(
+        _count_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, L // blk_l),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, R, blk_l), lambda b, i, n: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, blk_l), lambda b, i, n: (b, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, L), jnp.uint8),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * B * R * L,
+            bytes_accessed=B * R * L + B * L,
+            transcendentals=0,
+        ),
+    )(n_alns.astype(jnp.int32), tokens)
+    return out[:, 0, :]
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -272,15 +403,6 @@ def _int8_mm(y_i8, s_row, w_i8, s_col):
     return acc.astype(jnp.float32) * s_row * s_col
 
 
-def _ln_matmul_q_kernel(x_ref, scale_ref, bias_ref, w_ref, s_ref, b_ref, o_ref):
-    y = layernorm(x_ref[...], scale_ref[0], bias_ref[0]).astype(jnp.float32)
-    y_i8, s_row = _quant_rows(y)
-    o = _int8_mm(y_i8, s_row, w_ref[...], s_ref[0]) + b_ref[...].astype(
-        jnp.float32
-    )
-    o_ref[...] = o.astype(o_ref.dtype)
-
-
 def _ln_matmul_q_jnp(x, scale, bias, w_i8, s_col, b):
     y = layernorm(x, scale, bias).astype(jnp.float32)
     y_i8, s_row = _quant_rows(y)
@@ -288,45 +410,6 @@ def _ln_matmul_q_jnp(x, scale, bias, w_i8, s_col, b):
         x.dtype
     )
 
-
-def _ln_matmul_q_pallas(x, scale, bias, w_i8, s_col, b, blk_t: int = 512):
-    T, d = x.shape
-    f = w_i8.shape[1]
-    assert T % blk_t == 0, (T, blk_t)
-    return pl.pallas_call(
-        _ln_matmul_q_kernel,
-        grid=(T // blk_t,),
-        in_specs=[
-            pl.BlockSpec((blk_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk_t, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, f), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * d * f,
-            bytes_accessed=T * d * x.dtype.itemsize + T * f * x.dtype.itemsize
-            + d * f,
-            transcendentals=0,
-        ),
-    )(x, scale[None, :], bias[None, :], w_i8, s_col[None, :], b[None, :])
-
-
-def ln_matmul_q(x, scale, bias, w_i8, s_col, b):
-    """int8 LayerNorm+matmul: LN in f32, per-row dynamic int8 activations,
-    per-column int8 weights, int32 MXU accumulate. Inference only (no vjp)."""
-    lead = x.shape[:-1]
-    d = x.shape[-1]
-    xf = x.reshape(-1, d)
-    T = xf.shape[0]
-    if _use_pallas() and T % 512 == 0:
-        out = _ln_matmul_q_pallas(xf, scale, bias, w_i8, s_col, b)
-    else:
-        out = _ln_matmul_q_jnp(xf, scale, bias, w_i8, s_col, b)
-    return out.reshape(*lead, w_i8.shape[1])
 
 
 def _ln_ffn_q_kernel(
@@ -403,63 +486,274 @@ def ln_ffn_q(x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2):
 
 
 # ---------------------------------------------------------------------------
-# rope_attention: flash attention over the flat qkv buffer with in-kernel
-# rotary embedding.
+# ln_qkv_rope: LN + qkv projection + rotary epilogue in one pass, emitting
+# q/k/v as CONTIGUOUS per-head [B, H, L, D] buffers.
+#
+# Round-3 on-chip ablation (tools/ablate_fused.py): reading head slices
+# straight out of a flat [B, L, 3*H*D] buffer costs 256-byte-chunk strided
+# DMAs (row stride 3*H*D), and re-roping K inside the attention kernel
+# repeats the transcendentals per visiting query block — together ~13 ms of
+# the ~14.4 ms/layer attention stack. Rope costs nothing here (the qkv block
+# is already in VMEM between the matmul and the store), and [B, H, L, D]
+# gives the attention kernel fully contiguous slabs.
 # ---------------------------------------------------------------------------
 
 
-def _rope_rotate(x, pos2d, d_half: int):
-    """Apply split-half rotary embedding to x [T, D] at positions pos2d [T, 1].
-
-    Matches models.model._rope: out = [x1*cos - x2*sin, x2*cos + x1*sin].
-    Positions are the column index (static arange — padding is a suffix, so
-    real-column positions equal absolute positions). 2-D iota/position form
-    because TPU pallas only supports >=2-D iota.
-    """
-    # integer iota then convert: mosaic's tpu.iota only produces integers
+def _rope_tables_blk(pos0, blk: int, d_half: int):
+    """cos/sin [blk, d_half] for absolute positions pos0 + iota(blk)."""
+    pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
     freq = jnp.exp(
         -math.log(10000.0)
         * jax.lax.broadcasted_iota(jnp.int32, (1, d_half), 1).astype(jnp.float32)
         / d_half
     )
-    ang = pos2d.astype(jnp.float32) * freq  # [T, d_half]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    ang = pos.astype(jnp.float32) * freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rope_apply(x, cos, sin):
+    """Split-half rotary on x [T, D] with tables [T, D/2] (f32 math)."""
     xf = x.astype(jnp.float32)
+    d_half = cos.shape[1]
     x1, x2 = xf[:, :d_half], xf[:, d_half:]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     ).astype(x.dtype)
 
 
-def _rope_flash_kernel(
+def _ln_qkv_rope_kernel(
+    x_ref,  # VMEM [1, blk_t, d]
+    scale_ref, bias_ref,  # VMEM [1, d]
+    w_ref,  # VMEM [d, 3*H*D]
+    b_ref,  # VMEM [1, 3*H*D]
+    q_ref, k_ref, v_ref,  # VMEM [1, H, blk_t, D] each
+    *,
+    n_heads: int,
+    blk_t: int,
+):
+    y = layernorm(x_ref[0], scale_ref[0], bias_ref[0])
+    qkv = (
+        jax.lax.dot_general(
+            y, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[...].astype(jnp.float32)
+    ).astype(q_ref.dtype)  # [blk_t, 3*H*D]
+
+    H = n_heads
+    D = q_ref.shape[-1]
+    pos0 = pl.program_id(1) * blk_t  # positions are the absolute column
+    cos, sin = _rope_tables_blk(pos0, blk_t, D // 2)
+    for h in range(H):
+        q_ref[0, h] = _rope_apply(qkv[:, h * D : (h + 1) * D], cos, sin)
+        k_ref[0, h] = _rope_apply(
+            qkv[:, (H + h) * D : (H + h + 1) * D], cos, sin
+        )
+        v_ref[0, h] = qkv[:, (2 * H + h) * D : (2 * H + h + 1) * D]
+
+
+def _ln_qkv_rope_pallas(x, scale, bias, w, b, n_heads: int, blk_t: int = 512):
+    B, L, d = x.shape
+    H = n_heads
+    D = w.shape[1] // (3 * H)
+    blk_t = min(blk_t, L)
+    assert L % blk_t == 0, (L, blk_t)
+    kernel = functools.partial(
+        _ln_qkv_rope_kernel, n_heads=H, blk_t=blk_t
+    )
+    out_shape = jax.ShapeDtypeStruct((B, H, L, D), x.dtype)
+    out_spec = pl.BlockSpec(
+        (1, H, blk_t, D), lambda b_, i: (b_, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, L // blk_t),
+        in_specs=[
+            pl.BlockSpec((1, blk_t, d), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[out_shape, out_shape, out_shape],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * d * 3 * H * D,
+            bytes_accessed=(B * L * d + 3 * B * L * H * D) * x.dtype.itemsize,
+            transcendentals=B * L * D,
+        ),
+    )(x, scale[None, :], bias[None, :], w, b[None, :])
+
+
+def _ln_qkv_rope_jnp(x, scale, bias, w, b, n_heads: int):
+    """Twin: LN + matmul + rope with static positions, [B, H, L, D] outs."""
+    B, L, d = x.shape
+    H = n_heads
+    D = w.shape[1] // (3 * H)
+    qkv = _ln_matmul_jnp(x.reshape(-1, d), scale, bias, w, b).reshape(
+        B, L, 3, H, D
+    )
+    pos = jnp.tile(jnp.arange(L, dtype=jnp.int32), B)[:, None]
+    freq = jnp.exp(
+        -math.log(10000.0) * jnp.arange(D // 2, dtype=jnp.float32)[None, :] / (D // 2)
+    )
+    ang = pos.astype(jnp.float32) * freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rot(t):  # [B, L, D]
+        return _rope_apply(t.reshape(B * L, D), cos, sin).reshape(B, L, D)
+
+    q = jnp.stack([rot(qkv[:, :, 0, h]) for h in range(H)], axis=1)
+    k = jnp.stack([rot(qkv[:, :, 1, h]) for h in range(H)], axis=1)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def ln_qkv_rope(x, scale, bias, w, b, n_heads: int):
+    """LN + qkv projection + rotary: x [B, L, d] -> (q, k, v) [B, H, L, D].
+
+    Positions are the absolute column index (padding is a suffix — the
+    pileup-column invariant). No custom_vjp: the training path uses the jnp
+    twin via attention_block's vjp recompute.
+    """
+    if _use_pallas() and x.shape[1] % 512 == 0:
+        return _ln_qkv_rope_pallas(x, scale, bias, w, b, n_heads)
+    return _ln_qkv_rope_jnp(x, scale, bias, w, b, n_heads)
+
+
+def _ln_qkv_rope_q_kernel(
+    x_ref, scale_ref, bias_ref, w_ref, s_ref, b_ref, q_ref, k_ref, v_ref,
+    *, n_heads: int, blk_t: int,
+):
+    """int8 variant: LN -> per-row int8 activations -> int8 MXU matmul ->
+    dequant -> rope epilogue."""
+    y = layernorm(x_ref[0], scale_ref[0], bias_ref[0]).astype(jnp.float32)
+    y_i8, s_row = _quant_rows(y)
+    qkv = (
+        _int8_mm(y_i8, s_row, w_ref[...], s_ref[0])
+        + b_ref[...].astype(jnp.float32)
+    ).astype(q_ref.dtype)
+
+    H = n_heads
+    D = q_ref.shape[-1]
+    pos0 = pl.program_id(1) * blk_t
+    cos, sin = _rope_tables_blk(pos0, blk_t, D // 2)
+    for h in range(H):
+        q_ref[0, h] = _rope_apply(qkv[:, h * D : (h + 1) * D], cos, sin)
+        k_ref[0, h] = _rope_apply(
+            qkv[:, (H + h) * D : (H + h + 1) * D], cos, sin
+        )
+        v_ref[0, h] = qkv[:, (2 * H + h) * D : (2 * H + h + 1) * D]
+
+
+def _ln_qkv_rope_q_pallas(x, scale, bias, w_i8, s_col, b, n_heads: int,
+                          blk_t: int = 512):
+    B, L, d = x.shape
+    H = n_heads
+    D = w_i8.shape[1] // (3 * H)
+    blk_t = min(blk_t, L)
+    assert L % blk_t == 0, (L, blk_t)
+    kernel = functools.partial(_ln_qkv_rope_q_kernel, n_heads=H, blk_t=blk_t)
+    out_shape = jax.ShapeDtypeStruct((B, H, L, D), x.dtype)
+    out_spec = pl.BlockSpec(
+        (1, H, blk_t, D), lambda b_, i: (b_, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, L // blk_t),
+        in_specs=[
+            pl.BlockSpec((1, blk_t, d), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[out_shape, out_shape, out_shape],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * L * d * 3 * H * D,
+            bytes_accessed=B * L * d * x.dtype.itemsize
+            + 3 * B * L * H * D * x.dtype.itemsize + d * 3 * H * D,
+            transcendentals=B * L * D,
+        ),
+    )(x, scale[None, :], bias[None, :], w_i8, s_col[None, :], b[None, :])
+
+
+def _ln_qkv_rope_q_jnp(x, scale, bias, w_i8, s_col, b, n_heads: int):
+    B, L, d = x.shape
+    H = n_heads
+    D = w_i8.shape[1] // (3 * H)
+    qkv = _ln_matmul_q_jnp(
+        x.reshape(-1, d), scale, bias, w_i8, s_col, b
+    ).reshape(B, L, 3, H, D)
+    pos = jnp.tile(jnp.arange(L, dtype=jnp.int32), B)[:, None]
+    freq = jnp.exp(
+        -math.log(10000.0) * jnp.arange(D // 2, dtype=jnp.float32)[None, :] / (D // 2)
+    )
+    ang = pos.astype(jnp.float32) * freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    rot = lambda t: _rope_apply(t.reshape(B * L, D), cos, sin).reshape(B, L, D)
+    q = jnp.stack([rot(qkv[:, :, 0, h]) for h in range(H)], axis=1)
+    k = jnp.stack([rot(qkv[:, :, 1, h]) for h in range(H)], axis=1)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def attention_block_q(x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths, n_heads,
+                      local_window):
+    """int8 attention block (inference only): the qkv projection runs int8
+    (dynamic per-row activations, per-channel weights); attention itself and
+    the out projection stay bf16 (D=128 scores are MXU-cheap; softmax/exp is
+    the cost and unaffected by operand dtype)."""
+    w_i8, s_col = quantize_weight(w_qkv)
+    if _use_pallas() and x.shape[1] % 512 == 0:
+        q, k, v = _ln_qkv_rope_q_pallas(
+            x, ln_s, ln_b, w_i8, s_col, b_qkv, n_heads
+        )
+        return _flash_outproj_pallas(q, k, v, x, wo, bo, lengths, local_window)
+    q, k, v = _ln_qkv_rope_q_jnp(x, ln_s, ln_b, w_i8, s_col, b_qkv, n_heads)
+    return _flash_outproj_jnp(q, k, v, x, wo, bo, lengths, local_window)
+
+
+# ---------------------------------------------------------------------------
+# flash_outproj: flash attention + output projection + residual in one
+# kernel. The output block (b, i) stays resident in VMEM while the grid's
+# innermost head dimension cycles, accumulating each head's attn @ Wo_h —
+# the concatenated [B, L, H*D] attention output never exists in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _flash_outproj_kernel(
     len_ref,  # SMEM [B]
-    q_ref,  # VMEM [1, BLK_Q, D]   (head h's q columns of the qkv buffer)
-    k_ref,  # VMEM [1, Lk, D]
-    v_ref,  # VMEM [1, Lk, D]
-    o_ref,  # VMEM [1, BLK_Q, D]
+    q_ref,  # VMEM [1, 1, blk_q, D]
+    k_ref,  # VMEM [1, 1, Lk, D]
+    v_ref,  # VMEM [1, 1, Lk, D]
+    x_ref,  # VMEM [1, blk_q, d_model] (residual stream)
+    wo_ref,  # VMEM [1, D, d_model] (head h's slice of the out projection)
+    bo_ref,  # VMEM [1, d_model]
+    o_ref,  # VMEM [1, blk_q, d_model]
     *,
     blk_q: int,
     blk_k: int,
     lk: int,
     scale: float,
     local_window: int | None,
+    n_heads: int,
 ):
-    qi = pl.program_id(2)
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
-    d = q_ref.shape[-1]
-    d_half = d // 2
-
-    q_pos2d = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
-    q = _rope_rotate(q_ref[0], q_pos2d, d_half)
+    q = q_ref[0, 0]  # [blk_q, D]
 
     n_kb = lk // blk_k
     q_pos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
 
     def body(kb, carry):
         acc, m, l = carry
-        k_pos2d = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_k, 1), 0)
-        k = _rope_rotate(k_ref[0, pl.ds(kb * blk_k, blk_k), :], k_pos2d, d_half)
-        v = v_ref[0, pl.ds(kb * blk_k, blk_k), :]
+        k = k_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
+        v = v_ref[0, 0, pl.ds(kb * blk_k, blk_k), :]
         s = scale * jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -470,7 +764,6 @@ def _rope_flash_kernel(
         if local_window is not None:
             mask &= jnp.abs(q_pos - k_pos) <= local_window
         s = jnp.where(mask, s, NEG_INF)
-
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m - m_new)
@@ -482,10 +775,9 @@ def _rope_flash_kernel(
         )
         return acc_new, m_new, l_new
 
-    acc = jnp.zeros((blk_q, d), dtype=jnp.float32)
+    acc = jnp.zeros((blk_q, q.shape[1]), dtype=jnp.float32)
     m = jnp.full((blk_q,), NEG_INF, dtype=jnp.float32)
     l = jnp.zeros((blk_q,), dtype=jnp.float32)
-
     n_kb_valid = jnp.minimum((length + blk_k - 1) // blk_k, n_kb)
     if local_window is not None:
         lo = jnp.maximum((qi * blk_q - local_window) // blk_k, 0)
@@ -496,30 +788,42 @@ def _rope_flash_kernel(
     else:
         acc, m, l = jax.lax.fori_loop(0, n_kb_valid, body, (acc, m, l))
 
-    out = acc / jnp.maximum(l, 1e-30)[:, None]
-    o_ref[0] = out.astype(o_ref.dtype)
+    attn = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(q.dtype)  # [blk_q, D]
+    part = jax.lax.dot_general(
+        attn, wo_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk_q, d_model] f32
+
+    @pl.when(h == 0)
+    def _init():
+        o_ref[0] = (
+            x_ref[0].astype(jnp.float32) + bo_ref[...].astype(jnp.float32) + part
+        ).astype(o_ref.dtype)
+
+    @pl.when(h != 0)
+    def _acc():
+        o_ref[0] = (o_ref[0].astype(jnp.float32) + part).astype(o_ref.dtype)
 
 
-def _rope_attention_pallas(
-    qkv, lengths, n_heads: int, local_window: int | None,
+def _flash_outproj_pallas(
+    q, k, v, x, wo, bo, lengths, local_window,
     blk_q: int = 512, blk_k: int = 512,
 ):
-    B, L, F = qkv.shape
-    H = n_heads
-    D = F // (3 * H)
+    B, H, L, D = q.shape
+    d_model = x.shape[-1]
     blk_q = min(blk_q, L)
     blk_k = min(blk_k, L)
     assert L % blk_q == 0 and L % blk_k == 0, (L, blk_q, blk_k)
     scale = 1.0 / math.sqrt(D)
-
-    grid = (B, H, L // blk_q)
     kernel = functools.partial(
-        _rope_flash_kernel,
-        blk_q=blk_q, blk_k=blk_k, lk=L, scale=scale, local_window=local_window,
+        _flash_outproj_kernel,
+        blk_q=blk_q, blk_k=blk_k, lk=L, scale=scale,
+        local_window=local_window, n_heads=H,
     )
-    # qkv column blocks of width D: the DenseGeneral (3, H, D) kernel
-    # flattens c-major, so q of head h is column-block h, k is H + h,
-    # v is 2H + h. Three views of one buffer — no slicing copies.
+    # h innermost: the output block (b, i) is revisited while h cycles, so
+    # the per-head projections accumulate in VMEM.
+    grid = (B, L // blk_q, H)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -527,90 +831,114 @@ def _rope_attention_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, blk_q, D), lambda b, h, i, lens: (b, i, h),
+                    (1, 1, blk_q, D), lambda b, i, h, lens: (b, h, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, D), lambda b, h, i, lens: (b, 0, H + h),
+                    (1, 1, L, D), lambda b, i, h, lens: (b, h, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, D), lambda b, h, i, lens: (b, 0, 2 * H + h),
+                    (1, 1, L, D), lambda b, i, h, lens: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, blk_q, d_model), lambda b, i, h, lens: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, D, d_model), lambda b, i, h, lens: (h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, d_model), lambda b, i, h, lens: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, blk_q, D), lambda b, h, i, lens: (b, i, h),
+                (1, blk_q, d_model), lambda b, i, h, lens: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, L, H * D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, L, d_model), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * L * (min(L, 2 * (local_window or L)) * D),
-            bytes_accessed=4 * B * L * H * D * qkv.dtype.itemsize,
+            flops=4 * B * H * L * (min(L, 2 * (local_window or L)) * D)
+            + 2 * B * L * H * D * d_model,
+            bytes_accessed=4 * B * L * H * D * q.dtype.itemsize
+            + 2 * B * L * d_model * x.dtype.itemsize,
             transcendentals=B * H * L * min(L, 2 * (local_window or L)),
         ),
-    )(lengths.astype(jnp.int32), qkv, qkv, qkv)
+    )(lengths.astype(jnp.int32), q, k, v, x, wo, bo[None, :])
 
 
-def _rope_attention_jnp(qkv, lengths, n_heads: int, local_window: int | None):
-    """Twin: unpack the flat buffer, rope with static positions, chunked
-    attention. Runs on any backend; the fused kernel's backward recomputes
-    through this."""
+def _flash_outproj_jnp(q, k, v, x, wo, bo, lengths, local_window):
     from .attention import chunked_attention
 
-    B, L, F = qkv.shape
-    H = n_heads
-    D = F // (3 * H)
-    x = qkv.reshape(B, L, 3, H, D)
-    pos = jnp.tile(jnp.arange(L), B)[:, None]
-    rot = lambda t: _rope_rotate(
-        t.reshape(B * L, D), pos, D // 2
-    ).reshape(B, L, D)
-    outs = []
-    for h in range(H):
-        q = rot(x[:, :, 0, h])
-        k = rot(x[:, :, 1, h])
-        v = x[:, :, 2, h]
-        o = chunked_attention(
-            q[:, None], k[:, None], v[:, None], lengths, local_window
-        )[:, 0]
-        outs.append(o)
-    return jnp.concatenate(outs, axis=-1)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def rope_attention(qkv, lengths, n_heads, local_window):
-    """Flash attention with in-kernel rotary embedding.
-
-    qkv [B, L, 3*H*D] (DenseGeneral (3,H,D) c-major flattening), lengths [B]
-    -> [B, L, H*D]. Positions are a static arange over columns: padding is
-    always a suffix, so valid-column positions equal absolute positions
-    (models.model relies on the same invariant).
-    """
-    return _rope_attention_impl(qkv, lengths, n_heads, local_window)
-
-
-def _rope_attention_impl(qkv, lengths, n_heads, local_window):
-    L = qkv.shape[1]
-    if _use_pallas() and L % 512 == 0:
-        return _rope_attention_pallas(qkv, lengths, n_heads, local_window)
-    return _rope_attention_jnp(qkv, lengths, n_heads, local_window)
-
-
-def _rope_attention_fwd(qkv, lengths, n_heads, local_window):
-    return _rope_attention_impl(qkv, lengths, n_heads, local_window), (
-        qkv, lengths,
+    B, H, L, D = q.shape
+    attn = chunked_attention(q, k, v, lengths, local_window)  # [B, H, L, D]
+    out = jnp.einsum(
+        "bhld,hdo->blo",
+        attn.astype(jnp.float32),
+        wo.astype(jnp.float32),
+    )
+    return (x.astype(jnp.float32) + out + bo.astype(jnp.float32)).astype(
+        x.dtype
     )
 
 
-def _rope_attention_bwd(n_heads, local_window, res, g):
-    qkv, lengths = res
+def flash_outproj(q, k, v, x, wo, bo, lengths, local_window):
+    """Flash attention + out projection + residual:
+    y = x + concat_h(attn_h) @ Wo + bo, with wo passed as [H, D, d_model]."""
+    if _use_pallas() and x.shape[1] % 512 == 0:
+        return _flash_outproj_pallas(q, k, v, x, wo, bo, lengths, local_window)
+    return _flash_outproj_jnp(q, k, v, x, wo, bo, lengths, local_window)
+
+
+# ---------------------------------------------------------------------------
+# attention_block: ln_qkv_rope + flash_outproj with a recompute backward so
+# the training path can use the fused forward too.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def attention_block(x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths, n_heads,
+                    local_window):
+    """Pre-norm attention block: x + MHA(rope(LN(x)·Wqkv)) @ Wo + bo.
+
+    x [B, L, d]; w_qkv [d, 3*H*D] ((3,H,D) c-major flattening); wo
+    [H, D, d]; lengths [B]. Fused pallas on TPU, jnp twins elsewhere."""
+    return _attention_block_impl(
+        x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths, n_heads, local_window
+    )
+
+
+def _attention_block_impl(x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths,
+                          n_heads, local_window):
+    q, k, v = ln_qkv_rope(x, ln_s, ln_b, w_qkv, b_qkv, n_heads)
+    return flash_outproj(q, k, v, x, wo, bo, lengths, local_window)
+
+
+def _attention_block_twin(x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths,
+                          n_heads, local_window):
+    q, k, v = _ln_qkv_rope_jnp(x, ln_s, ln_b, w_qkv, b_qkv, n_heads)
+    return _flash_outproj_jnp(q, k, v, x, wo, bo, lengths, local_window)
+
+
+def _attention_block_fwd(x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths,
+                         n_heads, local_window):
+    out = _attention_block_impl(
+        x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths, n_heads, local_window
+    )
+    return out, (x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths)
+
+
+def _attention_block_bwd(n_heads, local_window, res, g):
+    x, ln_s, ln_b, w_qkv, b_qkv, wo, bo, lengths = res
     _, vjp = jax.vjp(
-        lambda q: _rope_attention_jnp(q, lengths, n_heads, local_window), qkv
+        lambda *a: _attention_block_twin(*a, lengths, n_heads, local_window),
+        x, ln_s, ln_b, w_qkv, b_qkv, wo, bo,
     )
-    (dqkv,) = vjp(g)
-    return dqkv, None
+    return vjp(g) + (None,)
 
 
-rope_attention.defvjp(_rope_attention_fwd, _rope_attention_bwd)
+attention_block.defvjp(_attention_block_fwd, _attention_block_bwd)

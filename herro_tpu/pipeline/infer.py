@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import QUAL_OFFSET, QUAL_SCALE
 from ..models.model import CorrectionModel, ModelConfig
-from ..ops.consensus import DECISION_PAD, count_decisions_jnp
+from ..ops.consensus import DECISION_PAD, count_decisions
 from .batching import Batch
 
 
@@ -71,7 +71,7 @@ def make_correct_step(cfg: ModelConfig):
             params, tokens, quals, support_idx, support_mask
         )
         classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-        decisions = count_decisions_jnp(tokens, n_alns)
+        decisions = count_decisions(tokens, n_alns)
         return info, classes, decisions
 
     return step

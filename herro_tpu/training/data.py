@@ -98,10 +98,12 @@ def profile_windows(
     import pickle
     import tempfile
 
-    # v2: simulator emits informative per-base qualities (constant-Q40 v1
-    # caches must not be reused — the qual plane is now a real signal)
+    # v3: qual realism recalibrated to ~0.8 AUC (the v2 parameterisation was
+    # near-oracle — see _informative_quals — and collapsed training); v1 was
+    # constant Q40. Stale versions must never be reused: the qual plane is a
+    # real model input.
     cache = (
-        os.path.join(cache_dir, f"{p.name}-w{window_size}-v2.pkl")
+        os.path.join(cache_dir, f"{p.name}-w{window_size}-v3.pkl")
         if cache_dir
         else None
     )

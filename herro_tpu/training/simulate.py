@@ -120,6 +120,14 @@ def _informative_quals(
     * ``miscal_rate`` of bases are miscalibrated (quality replaced by a
       uniform draw regardless of correctness) — models basecaller
       calibration error so training can't treat quality as oracle truth.
+
+    Calibration target: per-base qual-vs-error discrimination of AUC ~0.8,
+    the realistic basecaller regime — NOT an oracle. The first informative
+    parameterisation (err N(10,3) vs correct N(rq,3.5), 3% miscal) gave AUC
+    ~0.95; training on it collapsed to hard-column accuracy ~1.0 within 50
+    steps, i.e. the model could read the error positions straight off the
+    qual plane and would have become qual-dependent in a way real data
+    never supports.
     """
     n_span = emitted.shape[0]
     per_pos = emitted.astype(np.int64) + ins_lens
@@ -136,8 +144,8 @@ def _informative_quals(
     rq = float(np.clip(rng.normal(q_read_mean, q_read_sigma), 12.0, 32.0))
     q = np.where(
         is_err,
-        rng.normal(q_err_mean, 3.0, size=n),
-        rq + rng.normal(0.0, 3.5, size=n),
+        rng.normal(q_err_mean, 4.0, size=n),
+        rq + rng.normal(0.0, 4.5, size=n),
     )
     # degrade the base just before each deleted genome position
     deleted = np.nonzero(~emitted)[0]
@@ -167,8 +175,8 @@ def simulate(
     qual_mode: str = "informative",
     q_read_mean: float = 20.0,
     q_read_sigma: float = 4.0,
-    q_err_mean: float = 10.0,
-    miscal_rate: float = 0.03,
+    q_err_mean: float = 13.0,
+    miscal_rate: float = 0.06,
 ) -> SimDataset:
     """Simulate a (optionally diploid) genome and error-laden reads.
 

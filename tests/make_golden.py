@@ -66,7 +66,7 @@ def build_windows():
 
 if __name__ == "__main__":
     out = build_windows()
-    path = os.path.join(os.path.dirname(__file__), "golden", "featgen_v2.npz")
+    path = os.path.join(os.path.dirname(__file__), "golden", "featgen_v3.npz")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
     total = sum(v.nbytes for v in out.values())

@@ -11,7 +11,7 @@ tests (src/inference.rs:302-410; the reference ran its blob on saved feature
 fixtures and compared saved logits).
 
 The fixture freezes the *inputs too* (tensorized tokens/quals/support), so it
-is independent of featurization drift (tests/golden/featgen_v2.npz covers
+is independent of featurization drift (tests/golden/featgen_v3.npz covers
 that axis byte-exactly).
 
 Regenerate ONLY when the flagship checkpoint itself is intentionally

@@ -1,6 +1,6 @@
 """Byte-exact featurization golden test.
 
-The fixture (tests/golden/featgen_v2.npz, regenerate with
+The fixture (tests/golden/featgen_v3.npz, regenerate with
 tests/make_golden.py) freezes the full featurization output on a fixed-seed
 simulation; any byte-level drift in windowing, pileup fill, supported
 counting, or the haplotype re-rank fails here even if the native and numpy
@@ -13,7 +13,7 @@ import pytest
 
 from tests.make_golden import build_windows
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "featgen_v2.npz")
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "featgen_v3.npz")
 
 
 @pytest.fixture(scope="module")

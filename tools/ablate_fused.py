@@ -66,21 +66,10 @@ def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
         w_q = ck[idx[:, VOCAB_SIZE]].astype(dt)
 
         if entry:
-            onehot = (
-                tokens[:, :, None, :]
-                == jnp.arange(VOCAB_SIZE, dtype=tokens.dtype)[None, None, :, None]
-            ).astype(dt)
-            m = onehot.reshape(Bb, R * VOCAB_SIZE, Ll)
-            x = jax.lax.dot_general(
-                m, w_emb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            x = fused.entry_embed(
+                tokens, quals.astype(jnp.float32), w_emb.T, w_q.T,
+                cb.astype(jnp.float32), dt,
             )
-            x = x + jax.lax.dot_general(
-                quals.astype(dt), w_q,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            x = (x + cb).astype(dt)
         else:
             x = jnp.zeros((Bb, Ll, cfg_.d_model), dt) + quals[:, 0, :, None].astype(dt)
 
@@ -94,13 +83,14 @@ def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
             qkv_k, qkv_b = bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"]
             out_k, out_b = bp["attn"]["out"]["kernel"], bp["attn"]["out"]["bias"]
             if attn:
-                qkv = fused.ln_matmul(
+                x = fused.attention_block(
                     x, ln1_s, ln1_b,
                     qkv_k.reshape(cfg_.d_model, 3 * h * dh).astype(dt),
                     qkv_b.reshape(3 * h * dh).astype(dt),
+                    out_k.reshape(h, dh, cfg_.d_model).astype(dt),
+                    out_b.astype(dt),
+                    lengths, h, cfg_.local_window,
                 )
-                a = fused.rope_attention(qkv, lengths, h, cfg_.local_window)
-                x = x + (a @ out_k.astype(dt) + out_b.astype(dt)).astype(dt)
             if ffn:
                 x = fused.ln_ffn(
                     x, bp["ln2"]["scale"], bp["ln2"]["bias"],
@@ -159,16 +149,18 @@ def op_standalone(which, B, L, n=20):
     def mk(shape, scale=0.02):
         return jnp.asarray(rng.normal(0, scale, shape), dtype=dt)
 
-    if which == "ln_matmul_qkv":
+    if which == "attention_block":
         w = mk((d, 3 * d)); b = mk((3 * d,))
+        wo = mk((h, d // h, d)); bo = mk((d,))
         s = jnp.ones((d,), jnp.float32); bb = jnp.zeros((d,), jnp.float32)
+        lengths = jnp.full((B,), L, jnp.int32)
 
         def chained(x):
             def body(i, x):
-                y = fused.ln_matmul(x, s, bb, w, b)
-                return x + y[..., :d] * jnp.float32(1e-3).astype(dt) + (
-                    i % 7
-                ).astype(dt) * 1e-6
+                y = fused.attention_block(
+                    x, s, bb, w, b, wo, bo, lengths, h, cfg.local_window
+                )
+                return y + (i % 7).astype(dt) * 1e-6
             return jax.lax.fori_loop(0, n, body, x)
     elif which == "ln_ffn":
         w1 = mk((d, f)); b1 = mk((f,))
@@ -181,21 +173,12 @@ def op_standalone(which, B, L, n=20):
                     i % 7
                 ).astype(dt) * 1e-6
             return jax.lax.fori_loop(0, n, body, x)
-    elif which == "attention":
-        lengths = jnp.full((B,), L, jnp.int32)
-
-        def chained(x):
-            def body(i, x):
-                qkv = jnp.concatenate([x, x, x], axis=-1)
-                a = fused.rope_attention(qkv, lengths, h, cfg.local_window)
-                return x + a * jnp.float32(1e-3).astype(dt) + (i % 7).astype(
-                    dt
-                ) * 1e-6
-            return jax.lax.fori_loop(0, n, body, x)
     elif which == "counting":
+        from herro_tpu.ops.consensus import count_decisions
+
         def chained(tok):
             def body(i, t):
-                dec = count_decisions_jnp(t, jnp.full((B,), 30, jnp.int32))
+                dec = count_decisions(t, jnp.full((B,), 30, jnp.int32))
                 return t.at[:, 0, :].set(dec)
             return jax.lax.fori_loop(0, n, body, tok)
 
@@ -227,9 +210,8 @@ def main():
     no_entry = step_variant(B, L, S, entry=False, counting=False, label="no entry embed")
 
     print("-- standalone ops (per iteration at step shapes) --", flush=True)
-    op_standalone("ln_matmul_qkv", B, L)
+    op_standalone("attention_block", B, L)
     op_standalone("ln_ffn", B, L)
-    op_standalone("attention", B, L)
     op_standalone("counting", B, L)
 
     print(f"\ncounting = {(full - no_cnt)*1e3:.2f} ms")

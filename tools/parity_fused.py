@@ -21,138 +21,143 @@ import jax
 import jax.numpy as jnp
 
 
-def _rel_err(a, b):
-    a = np.asarray(a, dtype=np.float32)
-    b = np.asarray(b, dtype=np.float32)
-    denom = np.maximum(np.abs(b), 1e-3)
-    return float(np.max(np.abs(a - b) / denom))
+def _max_abs(a, b):
+    return float(np.max(np.abs(np.float32(a) - np.float32(b))))
 
 
 def parity():
     from herro_tpu.ops import fused
+    from herro_tpu.ops.consensus import count_decisions_jnp
 
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
-    T, d, f = 2048, 256, 1024
+    B, L, d, H, D = 4, 1024, 256, 2, 128
+    R, V = 31, 12
+    f = 1024
 
-    x = jnp.asarray(rng.normal(size=(T, d)), dtype=dt)
-    scale = jnp.asarray(rng.normal(size=(d,)), dtype=jnp.float32)
-    bias = jnp.asarray(rng.normal(size=(d,)), dtype=jnp.float32)
-    w = jnp.asarray(rng.normal(size=(d, f)) * 0.05, dtype=dt)
-    b = jnp.asarray(rng.normal(size=(f,)), dtype=dt)
-
-    out_p = np.asarray(jax.jit(fused._ln_matmul_pallas)(x, scale, bias, w, b))
-    out_j = np.asarray(jax.jit(fused._ln_matmul_jnp)(x, scale, bias, w, b))
-    e = _rel_err(out_p, out_j)
-    print(f"ln_matmul   rel_err {e:.4f}")
-    assert e < 0.05, e
-
-    w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.05, dtype=dt)
-    b1 = jnp.asarray(rng.normal(size=(f,)), dtype=dt)
-    w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.05, dtype=dt)
-    b2 = jnp.asarray(rng.normal(size=(d,)), dtype=dt)
-    out_p = np.asarray(
-        jax.jit(fused._ln_ffn_pallas)(x, scale, bias, w1, b1, w2, b2)
+    # entry_embed
+    bases = rng.integers(0, 12, (B, R, L)).astype(np.uint8)
+    quals = rng.uniform(-1, 1, (B, R, L)).astype(np.float32)
+    w_embT = jnp.asarray(rng.normal(0, 0.05, (d, R * V)), dtype=dt)
+    w_qT = jnp.asarray(rng.normal(0, 0.05, (d, R)), dtype=dt)
+    cb = jnp.asarray(rng.normal(0, 0.1, (d,)), dtype=jnp.float32)
+    e_p = jax.jit(lambda *a: fused._entry_embed_pallas(*a, dt))(
+        bases, quals, w_embT, w_qT, cb
     )
-    out_j = np.asarray(
-        jax.jit(fused._ln_ffn_jnp)(x, scale, bias, w1, b1, w2, b2)
+    e_j = jax.jit(lambda *a: fused._entry_embed_jnp(*a, dt))(
+        bases, quals, w_embT, w_qT, cb
     )
-    e = _rel_err(out_p, out_j)
-    print(f"ln_ffn      rel_err {e:.4f}")
-    assert e < 0.05, e
+    err = _max_abs(e_p, e_j)
+    print(f"entry_embed          max_abs {err:.4f}")
+    assert err < 0.05, err
 
-    B, L, H, D = 4, 1024, 8, 32
-    for lw in (None, 256):
-        qkv = jnp.asarray(rng.normal(size=(B, L, 3 * H * D)), dtype=dt)
-        lengths = jnp.asarray([L, L - 300, L - 511, 700], dtype=jnp.int32)
-        out_p = np.asarray(
-            jax.jit(lambda q, l: fused._rope_attention_pallas(q, l, H, lw))(
-                qkv, lengths
-            )
-        )
-        out_j = np.asarray(
-            jax.jit(lambda q, l: fused._rope_attention_jnp(q, l, H, lw))(
-                qkv, lengths
-            )
-        )
-        # compare only valid columns (padding columns are don't-care)
-        errs = []
-        for i, ln in enumerate([L, L - 300, L - 511, 700]):
-            errs.append(_rel_err(out_p[i, :ln], out_j[i, :ln]))
-        e = max(errs)
-        print(f"rope_attn   local_window={lw}  rel_err {e:.4f}")
-        assert e < 0.08, e
+    # count_decisions: exact
+    tok = rng.integers(0, 12, (B, R, L)).astype(np.uint8)
+    na = rng.integers(0, 31, (B,)).astype(np.int32)
+    c_p = np.asarray(jax.jit(fused.count_decisions_pallas)(tok, na))
+    c_j = np.asarray(jax.jit(count_decisions_jnp)(jnp.asarray(tok), jnp.asarray(na)))
+    print(f"count_decisions      exact: {np.array_equal(c_p, c_j)}")
+    assert np.array_equal(c_p, c_j)
 
-    # int8 kernels: pallas vs jnp twin (identical int32 math -> tight), and
-    # int8 vs the bf16 op (quantization error must stay small)
+    # ln_qkv_rope (+ int8 variant)
+    x = jnp.asarray(rng.normal(0, 1, (B, L, d)), dtype=dt)
+    s = jnp.asarray(rng.normal(1, 0.1, (d,)), dtype=jnp.float32)
+    bb = jnp.asarray(rng.normal(0, 0.1, (d,)), dtype=jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (d, 3 * H * D)), dtype=dt)
+    bq = jnp.asarray(rng.normal(0, 0.05, (3 * H * D,)), dtype=dt)
+    qp, kp, vp = jax.jit(lambda *a: fused._ln_qkv_rope_pallas(*a, H))(x, s, bb, w, bq)
+    qj, kj, vj = jax.jit(lambda *a: fused._ln_qkv_rope_jnp(*a, H))(x, s, bb, w, bq)
+    err = max(_max_abs(qp, qj), _max_abs(kp, kj), _max_abs(vp, vj))
+    print(f"ln_qkv_rope          max_abs {err:.4f}")
+    assert err < 0.05, err
+
     w_i8, s_col = fused.quantize_weight(w)
-    out_qp = np.asarray(
-        jax.jit(fused._ln_matmul_q_pallas)(x, scale, bias, w_i8, s_col, b)
+    o_p = jax.jit(lambda *a: fused._ln_qkv_rope_q_pallas(*a, H))(
+        x, s, bb, w_i8, s_col, bq
     )
-    out_qj = np.asarray(
-        jax.jit(fused._ln_matmul_q_jnp)(x, scale, bias, w_i8, s_col, b)
+    o_j = jax.jit(lambda *a: fused._ln_qkv_rope_q_jnp(*a, H))(
+        x, s, bb, w_i8, s_col, bq
     )
-    e = _rel_err(out_qp, out_qj)
-    print(f"ln_matmul_q pallas-vs-twin rel_err {e:.4f}")
-    assert e < 0.02, e
-    eq = _rel_err(out_qj, out_j := np.asarray(
-        jax.jit(fused._ln_matmul_jnp)(x, scale, bias, w, b)
-    ))
-    print(f"ln_matmul_q int8-vs-bf16   rel_err {eq:.4f}")
+    err = max(_max_abs(a, b) for a, b in zip(o_p, o_j))
+    print(f"ln_qkv_rope_q        max_abs {err:.4f} (pallas vs int8 twin)")
+    assert err < 0.05, err
+
+    # flash_outproj over the roped q/k/v
+    wo = jnp.asarray(rng.normal(0, 0.05, (H, D, d)), dtype=dt)
+    bo = jnp.asarray(rng.normal(0, 0.05, (d,)), dtype=dt)
+    lens = [L, L - 300, L - 511, 700]
+    lengths = jnp.asarray(lens, dtype=jnp.int32)
+    for lw in (None, 256):
+        a_p = np.float32(
+            jax.jit(lambda *a: fused._flash_outproj_pallas(*a, lw))(
+                qp, kp, vp, x, wo, bo, lengths
+            )
+        )
+        a_j = np.float32(
+            jax.jit(lambda *a: fused._flash_outproj_jnp(*a, lw))(
+                qj, kj, vj, x, wo, bo, lengths
+            )
+        )
+        err = max(
+            _max_abs(a_p[i, :ln], a_j[i, :ln]) for i, ln in enumerate(lens)
+        )
+        print(f"flash_outproj lw={lw}  max_abs {err:.4f}")
+        assert err < 0.06, err
+
+    # ln_ffn (+ int8)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (d, f)), dtype=dt)
+    b1 = jnp.asarray(rng.normal(0, 0.05, (f,)), dtype=dt)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (f, d)), dtype=dt)
+    b2 = jnp.asarray(rng.normal(0, 0.05, (d,)), dtype=dt)
+    xf = x.reshape(-1, d)
+    f_p = jax.jit(fused._ln_ffn_pallas)(xf, s, bb, w1, b1, w2, b2)
+    f_j = jax.jit(fused._ln_ffn_jnp)(xf, s, bb, w1, b1, w2, b2)
+    err = _max_abs(f_p, f_j)
+    print(f"ln_ffn               max_abs {err:.4f}")
+    assert err < 0.06, err
 
     w1_i8, s1 = fused.quantize_weight(w1)
     w2_i8, s2 = fused.quantize_weight(w2)
-    out_qp = np.asarray(
-        jax.jit(fused._ln_ffn_q_pallas)(
-            x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2
-        )
-    )
-    out_qj = np.asarray(
-        jax.jit(fused._ln_ffn_q_jnp)(
-            x, scale, bias, w1_i8, s1, b1, w2_i8, s2, b2
-        )
-    )
-    e = _rel_err(out_qp, out_qj)
-    print(f"ln_ffn_q    pallas-vs-twin rel_err {e:.4f}")
-    assert e < 0.02, e
+    fq_p = jax.jit(fused._ln_ffn_q_pallas)(xf, s, bb, w1_i8, s1, b1, w2_i8, s2, b2)
+    fq_j = jax.jit(fused._ln_ffn_q_jnp)(xf, s, bb, w1_i8, s1, b1, w2_i8, s2, b2)
+    err = _max_abs(fq_p, fq_j)
+    print(f"ln_ffn_q             max_abs {err:.4f} (pallas vs int8 twin)")
+    assert err < 0.06, err
 
     # full model forward: pallas path vs jnp twins, same params/inputs
-    from herro_tpu.models.model import R10_CONFIG, CorrectionModel, init_params
     from herro_tpu.constants import N_ROWS, TOKEN_PAD
+    from herro_tpu.models.model import R10_CONFIG, CorrectionModel, init_params
 
     cfg = R10_CONFIG
     params = init_params(cfg, jax.random.PRNGKey(0))
     model = CorrectionModel(cfg)
-    B, L, S = 4, 1024, 64
-    bases = rng.integers(0, 11, size=(B, N_ROWS, L)).astype(np.uint8)
-    bases[:, 0, :] = rng.integers(0, 5, size=(B, L))
-    bases[2, :, L - 300 :] = TOKEN_PAD
-    quals = rng.uniform(-1, 1, size=(B, N_ROWS, L)).astype(np.float32)
-    quals[2, :, L - 300 :] = 0
-    sidx = np.sort(rng.integers(0, L - 300, size=(B, S)), axis=1).astype(np.int32)
-    smask = np.ones((B, S), dtype=bool)
+    B2, L2, S2 = 4, 1024, 64
+    mb = rng.integers(0, 11, size=(B2, N_ROWS, L2)).astype(np.uint8)
+    mb[:, 0, :] = rng.integers(0, 5, size=(B2, L2))
+    mb[2, :, L2 - 300 :] = TOKEN_PAD
+    mq = rng.uniform(-1, 1, size=(B2, N_ROWS, L2)).astype(np.float32)
+    mq[2, :, L2 - 300 :] = 0
+    sidx = np.sort(rng.integers(0, L2 - 300, size=(B2, S2)), axis=1).astype(np.int32)
+    smask = np.ones((B2, S2), dtype=bool)
 
-    f_pallas = jax.jit(model.apply)
-    info_p, logit_p = f_pallas(params, bases, quals, sidx, smask)
-
+    info_p, logit_p = jax.jit(model.apply)(params, mb, mq, sidx, smask)
     import herro_tpu.ops.fused as fz
 
     orig = fz._use_pallas
     fz._use_pallas = lambda: False
     try:
-        f_twin = jax.jit(model.apply)
-        info_j, logit_j = f_twin(params, bases, quals, sidx, smask)
+        info_j, logit_j = jax.jit(model.apply)(params, mb, mq, sidx, smask)
     finally:
         fz._use_pallas = orig
-    e1 = _rel_err(info_p, info_j)
-    e2 = _rel_err(logit_p, logit_j)
     agree = float(
         np.mean(
             np.argmax(np.asarray(logit_p), -1) == np.argmax(np.asarray(logit_j), -1)
         )
     )
-    print(f"model fwd   info rel_err {e1:.4f}  logits rel_err {e2:.4f}  "
-          f"argmax agree {agree:.4f}")
+    print(
+        f"model fwd            logits max_abs {_max_abs(logit_p, logit_j):.4f}  "
+        f"argmax agree {agree:.4f}"
+    )
     assert agree > 0.995, agree
     print("PARITY OK")
 
@@ -162,8 +167,11 @@ def timing():
 
     for B, L, S in ((64, 4608, 128), (32, 9216, 256)):
         ws = _chip_only(B, L, S)
-        print(f"chip_only B={B} L={L} S={S}: {ws:.1f} windows/s "
-              f"({B / ws * 1e3:.1f} ms/step)", flush=True)
+        print(
+            f"chip_only B={B} L={L} S={S}: {ws:.1f} windows/s "
+            f"({B / ws * 1e3:.1f} ms/step)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
