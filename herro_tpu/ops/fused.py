@@ -806,7 +806,166 @@ def _flash_outproj_kernel(
         o_ref[0] = (o_ref[0].astype(jnp.float32) + part).astype(o_ref.dtype)
 
 
+def _banded_flash_outproj_kernel(
+    len_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, 1, blk, D]
+    *rest,  # 2*n_tiles k/v tile refs, x_ref, wo_ref, bo_ref, o_ref
+    blk: int,
+    n_side: int,
+    nq: int,
+    scale: float,
+    local_window: int,
+):
+    n_tiles = 2 * n_side + 1
+    k_refs = rest[:n_tiles]
+    v_refs = rest[n_tiles : 2 * n_tiles]
+    x_ref, wo_ref, bo_ref, o_ref = rest[2 * n_tiles :]
+
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
+    length = len_ref[pl.program_id(0)]
+    q = q_ref[0, 0]  # [blk, D]
+
+    # iq - ik plane, shared by every tile's band mask (the per-tile mask is
+    # |c_j + iq - ik| <= w with a scalar c_j, so the expensive [blk, blk]
+    # part is computed once).
+    d0 = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0) - \
+        jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    ik_row = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+
+    parts = []
+    for t in range(n_tiles):
+        j = t - n_side
+        kb = jnp.clip(qi + j, 0, nq - 1)
+        # A clamped (duplicated) edge tile must not contribute: poison its
+        # offset so the band test fails everywhere.
+        c = jnp.where(qi + j != kb, jnp.int32(1 << 20), (qi - kb) * blk)
+        s = scale * jax.lax.dot_general(
+            q, k_refs[t][0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk, blk]
+        band = jnp.abs(d0 + c) <= local_window
+        mask = band & ((kb * blk + ik_row) < length)
+        parts.append(jnp.where(mask, s, NEG_INF))
+
+    s = jnp.concatenate(parts, axis=1)  # [blk, n_tiles*blk]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    v_cat = jnp.concatenate([vr[0, 0] for vr in v_refs], axis=0)
+    pv = jax.lax.dot_general(
+        p.astype(v_cat.dtype), v_cat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, D]
+    attn = (pv / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    part = jax.lax.dot_general(
+        attn, wo_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, d_model] f32
+
+    @pl.when(h == 0)
+    def _init():
+        o_ref[0] = (
+            x_ref[0].astype(jnp.float32) + bo_ref[...].astype(jnp.float32) + part
+        ).astype(o_ref.dtype)
+
+    @pl.when(h != 0)
+    def _acc():
+        o_ref[0] = (o_ref[0].astype(jnp.float32) + part).astype(o_ref.dtype)
+
+
+def _banded_flash_outproj_pallas(
+    q, k, v, x, wo, bo, lengths, local_window, blk: int = 512
+):
+    """Banded flash: K/V arrive as 2*n_side+1 block-aligned tiles around the
+    query block instead of the full [L, D] slab, cutting the per-(query
+    block, head) HBM traffic ~6x at L=9216 (the measured flash bottleneck —
+    tools/ablate_fused.py round 3: 7.3 of 9 ms/layer). Semantics identical
+    to the full kernel: |q_pos - k_pos| <= local_window and k_pos < length."""
+    B, H, L, D = q.shape
+    d_model = x.shape[-1]
+    blk = min(blk, L)
+    assert L % blk == 0, (L, blk)
+    nq = L // blk
+    n_side = -(-local_window // blk)  # ceil
+    n_tiles = 2 * n_side + 1
+    scale = 1.0 / math.sqrt(D)
+    kernel = functools.partial(
+        _banded_flash_outproj_kernel,
+        blk=blk, n_side=n_side, nq=nq, scale=scale,
+        local_window=local_window,
+    )
+
+    def tile_spec(j):
+        return pl.BlockSpec(
+            (1, 1, blk, D),
+            lambda b, i, h, lens, j=j: (b, h, jnp.clip(i + j, 0, nq - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kv_specs = [tile_spec(t - n_side) for t in range(n_tiles)]
+    grid = (B, nq, H)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, blk, D), lambda b, i, h, lens: (b, h, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *kv_specs,
+                *kv_specs,
+                pl.BlockSpec(
+                    (1, blk, d_model), lambda b, i, h, lens: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, D, d_model), lambda b, i, h, lens: (h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, d_model), lambda b, i, h, lens: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, blk, d_model), lambda b, i, h, lens: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, d_model), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * n_tiles * blk * D
+            + 2 * B * L * H * D * d_model,
+            bytes_accessed=B * H * L * D * 2 * (1 + 2 * n_tiles)
+            + 2 * B * L * d_model * x.dtype.itemsize,
+            transcendentals=B * H * L * n_tiles * blk,
+        ),
+    )(
+        lengths.astype(jnp.int32),
+        q, *([k] * n_tiles), *([v] * n_tiles), x, wo, bo[None, :],
+    )
+
+
 def _flash_outproj_pallas(
+    q, k, v, x, wo, bo, lengths, local_window,
+    blk_q: int = 512, blk_k: int = 512,
+):
+    if local_window is not None and q.shape[2] % max(blk_q, blk_k) == 0:
+        return _banded_flash_outproj_pallas(
+            q, k, v, x, wo, bo, lengths, local_window, blk=max(blk_q, blk_k)
+        )
+    return _flash_outproj_full_pallas(
+        q, k, v, x, wo, bo, lengths, local_window, blk_q, blk_k
+    )
+
+
+def _flash_outproj_full_pallas(
     q, k, v, x, wo, bo, lengths, local_window,
     blk_q: int = 512, blk_k: int = 512,
 ):

@@ -85,6 +85,14 @@ CURRICULUM: tuple[SimProfile, ...] = (
     SimProfile("r9-mid45x", 0.04, 0.025, 0.025, 0.005, 280, seed=106),
     SimProfile("haploid30x", 0.02, 0.02, 0.02, 0.0, 190, seed=107),
     SimProfile("het1pct30x", 0.02, 0.02, 0.02, 0.01, 190, seed=108),
+    # Ultra-low-coverage shards: at >=15x the supported-column task is
+    # saturated (the round-2 flagship scores 100% on every such shard), so
+    # these are where residual learning happens — votes split and the
+    # informative qual plane (v3, AUC ~0.8) is the tiebreaker. Round-3
+    # probe: flagship hard-column acc 0.97/0.97/0.98 here vs 1.0 elsewhere.
+    SimProfile("r9-low10x", 0.05, 0.03, 0.03, 0.005, 65, seed=109),
+    SimProfile("r10-low9x", 0.02, 0.02, 0.02, 0.005, 60, seed=110),
+    SimProfile("r9-low14x", 0.06, 0.035, 0.035, 0.005, 90, seed=111),
 )
 
 

@@ -79,3 +79,32 @@ def test_chunked_banded_gradients_match_naive():
     gn = jax.grad(loss_n, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gc, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("local_window,blk", [(64, 64), (96, 64)])
+def test_banded_flash_outproj_interpret_matches_twin(local_window, blk):
+    """The banded tiled kernel (K/V as 2*n_side+1 block-aligned tiles) must
+    match the jnp twin on valid query rows, including clamped edge query
+    blocks and suffix-length masking. n_side=2 at (96, 64)."""
+    from herro_tpu.ops import fused
+
+    B, H, L, D, d = 2, 2, 256, 32, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    wo = jnp.asarray(rng.normal(0, 0.1, size=(H, D, d)), jnp.float32)
+    bo = jnp.asarray(rng.normal(0, 0.1, size=(d,)), jnp.float32)
+    lengths = jnp.asarray([L, L - 70], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_b = fused._banded_flash_outproj_pallas(
+            q, k, v, x, wo, bo, lengths, local_window, blk=blk
+        )
+    out_t = fused._flash_outproj_jnp(q, k, v, x, wo, bo, lengths, local_window)
+    for b in range(B):
+        l = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(out_b)[b, :l], np.asarray(out_t)[b, :l], atol=3e-4
+        )

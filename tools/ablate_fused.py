@@ -40,7 +40,7 @@ def _time_chained(f, args, n, label):
 
 
 def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
-                 entry=True, layers=None, label=""):
+                 entry=True, layers=None, qkv_only=False, label=""):
     cfg = R10_CONFIG
     model = CorrectionModel(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -82,7 +82,20 @@ def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
             ln1_s, ln1_b = bp["ln1"]["scale"], bp["ln1"]["bias"]
             qkv_k, qkv_b = bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"]
             out_k, out_b = bp["attn"]["out"]["kernel"], bp["attn"]["out"]["bias"]
-            if attn:
+            if attn and qkv_only:
+                # qkv projection runs, flash+outproj skipped: isolates the
+                # ln_qkv_rope half of the attention stack in-step.
+                q_, k_, v_ = fused.ln_qkv_rope(
+                    x, ln1_s, ln1_b,
+                    qkv_k.reshape(cfg_.d_model, 3 * h * dh).astype(dt),
+                    qkv_b.reshape(3 * h * dh).astype(dt),
+                    h,
+                )
+                mix = q_.sum(axis=(1, 3)) + k_.sum(axis=(1, 3)) + v_.sum(
+                    axis=(1, 3)
+                )
+                x = x + (mix[:, :, None] * 1e-6).astype(dt)
+            elif attn:
                 x = fused.attention_block(
                     x, ln1_s, ln1_b,
                     qkv_k.reshape(cfg_.d_model, 3 * h * dh).astype(dt),
@@ -205,17 +218,14 @@ def main():
     full = step_variant(B, L, S, label="full step")
     no_cnt = step_variant(B, L, S, counting=False, label="no counting")
     no_attn = step_variant(B, L, S, attn=False, counting=False, label="no attention(+ln_mm)")
+    qkv_o = step_variant(B, L, S, counting=False, qkv_only=True, label="qkv only (no flash)")
     no_ffn = step_variant(B, L, S, ffn=False, counting=False, label="no ffn")
     zero_layers = step_variant(B, L, S, layers=0, counting=False, label="0 layers (entry+heads)")
     no_entry = step_variant(B, L, S, entry=False, counting=False, label="no entry embed")
 
-    print("-- standalone ops (per iteration at step shapes) --", flush=True)
-    op_standalone("attention_block", B, L)
-    op_standalone("ln_ffn", B, L)
-    op_standalone("counting", B, L)
-
     print(f"\ncounting = {(full - no_cnt)*1e3:.2f} ms")
     print(f"attention stack = {(no_cnt - no_attn)*1e3:.2f} ms")
+    print(f"  qkv half = {(qkv_o - no_attn)*1e3:.2f} ms, flash half = {(no_cnt - qkv_o)*1e3:.2f} ms")
     print(f"ffn stack = {(no_cnt - no_ffn)*1e3:.2f} ms")
     print(f"entry = {(no_cnt - no_entry)*1e3:.2f} ms; entry+heads = {zero_layers*1e3:.2f} ms")
 

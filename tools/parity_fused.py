@@ -122,7 +122,9 @@ def parity():
     fq_j = jax.jit(fused._ln_ffn_q_jnp)(xf, s, bb, w1_i8, s1, b1, w2_i8, s2, b2)
     err = _max_abs(fq_p, fq_j)
     print(f"ln_ffn_q             max_abs {err:.4f} (pallas vs int8 twin)")
-    assert err < 0.06, err
+    # int8 variants: dynamic-quant rounding differences of one bf16 ULP at
+    # |x|~8-16 are expected between the pallas and jnp formulations
+    assert err < 0.1, err
 
     # full model forward: pallas path vs jnp twins, same params/inputs
     from herro_tpu.constants import N_ROWS, TOKEN_PAD
