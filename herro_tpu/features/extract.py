@@ -22,7 +22,9 @@ import numpy as np
 
 from ..cigar.ops import window_accuracy
 from ..cigar.windowing import OverlapWindow, extract_windows
-from ..constants import GAP_FWD, GAP_REV, MAX_INDEL_LEN, NO_ALN, TOP_K
+from ..constants import (
+    GAP_FWD, GAP_REV, MAX_INDEL_LEN, NO_ALN, NO_ALN_QUAL, TOP_K,
+)
 from ..io.fastx import ReadSet
 from ..overlaps.paf import Alignment, STRAND_REV
 from .pileup import fill_window_pileup, get_supported, window_max_ins
@@ -87,6 +89,96 @@ class _QueryArena:
         return seq[ow.qstart : ow.qend], qual[ow.qstart : ow.qend], rev
 
 
+# Escape hatch for parity tests: force the per-window orchestration even when
+# the read-level native kernel is available.
+_READ_LEVEL = True
+
+
+def _extract_read_features_native(
+    rid: int,
+    reads: ReadSet,
+    alignments: list[Alignment],
+    window_size: int,
+) -> "list[WindowFeatures] | None":
+    """Whole-read featurization in one native call (ht_read_build/emit).
+
+    Covers the same pipeline as the Python orchestration below — window
+    grouping, long-indel filter, accuracy sort, pileup fill, supported
+    columns, haplotype re-rank (src/features.rs:326-583) — with the
+    per-window Python glue (~30-50% of featgen wall time) hoisted into C++.
+    Byte-parity with the fallback path is enforced by
+    tests/test_extract_parity.py.
+    """
+    from .. import native
+
+    read_len = reads.length(rid)
+    tseq = reads.seq(rid)
+    tqual = reads.qual(rid)
+    n_windows = (read_len + window_size - 1) // window_size
+
+    # Per-alignment spans with the read as target; drop alignments that the
+    # windowing guard would reject anyway (span < W) so their oriented decode
+    # is never materialised.
+    kept: list[int] = []
+    spans = []
+    for idx, aln in enumerate(alignments):
+        if aln.tid == rid:
+            t0, t1, tl = aln.tstart, aln.tend, aln.tlen
+            q0, q1 = aln.qstart, aln.qend
+        else:
+            t0, t1, tl = aln.qstart, aln.qend, aln.qlen
+            q0, q1 = aln.tstart, aln.tend
+        if t1 - t0 < window_size or q1 - q0 < window_size:
+            continue
+        kept.append(idx)
+        spans.append((t0, t1, tl, q0, q1))
+    n = len(kept)
+
+    arena = _QueryArena(reads, alignments, rid)
+    qseqs, qquals, revs = [], [], np.empty(n, dtype=np.uint8)
+    for k, idx in enumerate(kept):
+        seq, qual, rev = arena.full(idx)
+        qseqs.append(seq)
+        qquals.append(qual)
+        revs[k] = rev
+
+    sp = np.asarray(spans, dtype=np.int64).reshape(n, 5)
+    qids = np.asarray(
+        [alignments[idx].other_id(rid) for idx in kept], dtype=np.int64
+    )
+    uq, qid_local = (
+        np.unique(qids, return_inverse=True) if n else (qids, qids)
+    )
+
+    res = native.read_featurize(
+        [alignments[idx].cigar.codes for idx in kept],
+        [alignments[idx].cigar.lens for idx in kept],
+        np.ascontiguousarray(sp[:, 0]), np.ascontiguousarray(sp[:, 1]),
+        np.ascontiguousarray(sp[:, 2]), np.ascontiguousarray(sp[:, 3]),
+        np.ascontiguousarray(sp[:, 4]), revs,
+        qseqs, qquals, qid_local.astype(np.int64), len(uq),
+        tseq, tqual, read_len, window_size, TOP_K, MAX_INDEL_LEN,
+        int(NO_ALN_QUAL),
+    )
+    if res is None:
+        return None
+    bases, quals, supported, row_aln, nrows = res
+    qids_l = qids.tolist()
+    return [
+        WindowFeatures(
+            rid=rid,
+            wid=wid,
+            n_alns=min(int(nrows[wid]), TOP_K),
+            n_total_wins=n_windows,
+            bases=bases[wid],
+            quals=quals[wid],
+            supported=supported[wid],
+            qids=[qids_l[a] for a in row_aln[wid]],
+        )
+        for wid in range(n_windows)
+    ]
+
+
 def extract_read_features(
     rid: int,
     reads: ReadSet,
@@ -94,6 +186,13 @@ def extract_read_features(
     window_size: int,
 ) -> list[WindowFeatures]:
     """All window features of one target read, fully ranked and re-ranked."""
+    from .. import native
+
+    if _READ_LEVEL and native.available():
+        out = _extract_read_features_native(rid, reads, alignments, window_size)
+        if out is not None:
+            return out
+
     read_len = reads.length(rid)
     tseq = reads.seq(rid)
     tqual = reads.qual(rid)

@@ -84,6 +84,13 @@ def _load():
         ptr, i64, ptr, i64, i64, i64, ptr, ptr, ptr, ptr,
     ]
     lib.ht_fit_align.restype = i64
+    lib.ht_read_build.argtypes = [
+        i64, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr, ptr,
+        i64, ptr, ptr, i64, i64, i64, i64, i64, ptr, ptr, ptr,
+    ]
+    lib.ht_read_build.restype = ptr
+    lib.ht_read_emit.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, i64]
+    lib.ht_read_free.argtypes = [ptr]
     return lib
 
 
@@ -314,6 +321,96 @@ def fill_rows(
         qp.ctypes.data, qq.ctypes.data,
         anchor.ctypes.data, max_ins.ctypes.data, wb.n, no_aln_qual,
     )
+
+
+def read_featurize(
+    codes_list,
+    lens_list,
+    tstart: np.ndarray,
+    tend: np.ndarray,
+    tlen: np.ndarray,
+    qstart: np.ndarray,
+    qend: np.ndarray,
+    strand_rev: np.ndarray,
+    qseqs,
+    qquals,
+    qid_local: np.ndarray,
+    n_qid: int,
+    tseq: np.ndarray,
+    tqual: np.ndarray,
+    read_len: int,
+    window_size: int,
+    top_k: int,
+    max_indel: int,
+    no_aln_qual: int,
+):
+    """Whole-read featurization in one native build + one emit call.
+
+    Returns ``(bases, quals, supported, row_aln, nrows)`` lists, one entry
+    per window, or ``None`` when the native build bails (caller falls back
+    to the per-window path). ``row_aln[w]`` maps each re-ranked pileup row
+    to its index in the caller's alignment arrays.
+    """
+    n_alns = len(codes_list)
+    n_windows = -(-read_len // window_size)
+    codes_p = np.fromiter(
+        (a.ctypes.data for a in codes_list), dtype=np.uint64, count=n_alns
+    )
+    lens_p = np.fromiter(
+        (a.ctypes.data for a in lens_list), dtype=np.uint64, count=n_alns
+    )
+    n_ops = np.fromiter(
+        (a.shape[0] for a in codes_list), dtype=np.int64, count=n_alns
+    )
+    qseq_p = np.fromiter(
+        (a.ctypes.data for a in qseqs), dtype=np.uint64, count=n_alns
+    )
+    qqual_p = np.fromiter(
+        (a.ctypes.data for a in qquals), dtype=np.uint64, count=n_alns
+    )
+    out_len = np.empty(n_windows, dtype=np.int64)
+    out_nsup = np.empty(n_windows, dtype=np.int64)
+    out_nrows = np.empty(n_windows, dtype=np.int64)
+    handle = _lib.ht_read_build(
+        n_alns, codes_p.ctypes.data, lens_p.ctypes.data, n_ops.ctypes.data,
+        tstart.ctypes.data, tend.ctypes.data, tlen.ctypes.data,
+        qstart.ctypes.data, qend.ctypes.data, strand_rev.ctypes.data,
+        qseq_p.ctypes.data, qqual_p.ctypes.data, qid_local.ctypes.data,
+        n_qid, tseq.ctypes.data, tqual.ctypes.data, read_len, window_size,
+        top_k, max_indel, no_aln_qual,
+        out_len.ctypes.data, out_nsup.ctypes.data, out_nrows.ctypes.data,
+    )
+    if not handle:
+        return None
+    try:
+        C = top_k + 1
+        bases = [np.empty((int(l), C), dtype=np.uint8) for l in out_len]
+        quals = [np.empty((int(l), C), dtype=np.uint8) for l in out_len]
+        supported = [
+            np.empty(int(k), dtype=[("pos", np.uint16), ("ins", np.uint8)])
+            for k in out_nsup
+        ]
+        # structured (u16, u8) fields are interleaved; emit into flat planes
+        sup_pos = [np.empty(int(k), dtype=np.uint16) for k in out_nsup]
+        sup_ins = [np.empty(int(k), dtype=np.uint8) for k in out_nsup]
+        row_aln = [np.empty(int(r), dtype=np.int32) for r in out_nrows]
+
+        def pp(arrs):
+            return np.fromiter(
+                (a.ctypes.data for a in arrs), dtype=np.uint64, count=n_windows
+            )
+
+        bp, qp, spp, sip, rp = pp(bases), pp(quals), pp(sup_pos), pp(sup_ins), pp(row_aln)
+        _lib.ht_read_emit(
+            handle, bp.ctypes.data, qp.ctypes.data, spp.ctypes.data,
+            sip.ctypes.data, rp.ctypes.data, top_k,
+        )
+    finally:
+        _lib.ht_read_free(handle)
+    for s, p, i in zip(supported, sup_pos, sup_ins):
+        s["pos"] = p
+        s["ins"] = i
+    return bases, quals, supported, row_aln, out_nrows
 
 
 def supported_mask(bases: np.ndarray, thresh: int) -> np.ndarray:

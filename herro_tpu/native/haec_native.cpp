@@ -10,12 +10,15 @@
 
 #include <array>
 #include <cstdint>
-#ifdef __AVX2__
+#if defined(__AVX2__) || defined(__SSE2__)
 #include <immintrin.h>
 #endif
+#include <cmath>
 #include <cstdlib>
+#include <new>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -43,6 +46,18 @@ const std::array<uint64_t, 256>& encode_table() {
     std::array<uint64_t, 256> x{};
     x['A'] = 0; x['C'] = 1; x['G'] = 2; x['T'] = 3;
     x['a'] = 0; x['c'] = 1; x['g'] = 2; x['t'] = 3;
+    return x;
+  }();
+  return t;
+}
+
+// Case fold for the phase-score byte compares: acgt -> ACGT, everything else
+// ('#', '*', '.', ACGT, quals) unchanged — mirrors features/extract.py _UPPER.
+const std::array<uint8_t, 256>& upper_table() {
+  static const std::array<uint8_t, 256> t = [] {
+    std::array<uint8_t, 256> x{};
+    for (int i = 0; i < 256; ++i) x[i] = (uint8_t)i;
+    x['a'] = 'A'; x['c'] = 'C'; x['g'] = 'G'; x['t'] = 'T';
     return x;
   }();
   return t;
@@ -448,6 +463,66 @@ static void fill_query_row_flat(uint8_t* rb, uint8_t* rq, int64_t length,
   memset(rb + idx, '.', (size_t)(length - idx));
 }
 
+// Scatter n contiguous scratch rows (each `length` bytes) into pileup
+// columns 1..n of a row-major (length, n_cols) byte matrix. SSE2 path moves
+// 8 rows x 16 columns per step: three unpack levels build, for each pileup
+// column, one u64 of the 8 rows' bytes, stored directly at the strided
+// destination — ~8x the scalar blocked transpose (the measured featgen
+// bottleneck at heavy coverage, ARCHITECTURE.md round-2 ablation).
+static void scatter_rows_to_cols(const uint8_t* s, int64_t n, int64_t length,
+                                 uint8_t* dst, int64_t n_cols) {
+  int64_t i0 = 0;
+#ifdef __SSE2__
+  for (; i0 + 8 <= n; i0 += 8) {
+    const uint8_t* r[8];
+    for (int k = 0; k < 8; ++k) r[k] = s + (i0 + k) * length;
+    int64_t l = 0;
+    for (; l + 16 <= length; l += 16) {
+      __m128i r0 = _mm_loadu_si128((const __m128i*)(r[0] + l));
+      __m128i r1 = _mm_loadu_si128((const __m128i*)(r[1] + l));
+      __m128i r2 = _mm_loadu_si128((const __m128i*)(r[2] + l));
+      __m128i r3 = _mm_loadu_si128((const __m128i*)(r[3] + l));
+      __m128i r4 = _mm_loadu_si128((const __m128i*)(r[4] + l));
+      __m128i r5 = _mm_loadu_si128((const __m128i*)(r[5] + l));
+      __m128i r6 = _mm_loadu_si128((const __m128i*)(r[6] + l));
+      __m128i r7 = _mm_loadu_si128((const __m128i*)(r[7] + l));
+      __m128i a0 = _mm_unpacklo_epi8(r0, r1), a1 = _mm_unpackhi_epi8(r0, r1);
+      __m128i a2 = _mm_unpacklo_epi8(r2, r3), a3 = _mm_unpackhi_epi8(r2, r3);
+      __m128i a4 = _mm_unpacklo_epi8(r4, r5), a5 = _mm_unpackhi_epi8(r4, r5);
+      __m128i a6 = _mm_unpacklo_epi8(r6, r7), a7 = _mm_unpackhi_epi8(r6, r7);
+      __m128i b0 = _mm_unpacklo_epi16(a0, a2), b1 = _mm_unpackhi_epi16(a0, a2);
+      __m128i b2 = _mm_unpacklo_epi16(a4, a6), b3 = _mm_unpackhi_epi16(a4, a6);
+      __m128i b4 = _mm_unpacklo_epi16(a1, a3), b5 = _mm_unpackhi_epi16(a1, a3);
+      __m128i b6 = _mm_unpacklo_epi16(a5, a7), b7 = _mm_unpackhi_epi16(a5, a7);
+      // c[k] holds columns (2k, 2k+1): low/high u64 = that column's 8 rows
+      __m128i c[8] = {
+          _mm_unpacklo_epi32(b0, b2), _mm_unpackhi_epi32(b0, b2),
+          _mm_unpacklo_epi32(b1, b3), _mm_unpackhi_epi32(b1, b3),
+          _mm_unpacklo_epi32(b4, b6), _mm_unpackhi_epi32(b4, b6),
+          _mm_unpacklo_epi32(b5, b7), _mm_unpackhi_epi32(b5, b7)};
+      uint8_t* d = dst + l * n_cols + 1 + i0;
+      for (int k = 0; k < 8; ++k) {
+        _mm_storel_epi64((__m128i*)(d + (2 * k) * n_cols), c[k]);
+        _mm_storel_epi64((__m128i*)(d + (2 * k + 1) * n_cols),
+                         _mm_unpackhi_epi64(c[k], c[k]));
+      }
+    }
+    for (; l < length; ++l)
+      for (int k = 0; k < 8; ++k) dst[l * n_cols + 1 + i0 + k] = r[k][l];
+  }
+#endif
+  const int64_t BS = 64;  // scalar cache-blocked tail (n % 8 rows)
+  if (i0 < n) {
+    for (int64_t l0 = 0; l0 < length; l0 += BS) {
+      int64_t l1 = std::min(l0 + BS, length);
+      for (int64_t l = l0; l < l1; ++l) {
+        uint8_t* d = dst + l * n_cols + 1;
+        for (int64_t i = i0; i < n; ++i) d[i] = s[i * length + l];
+      }
+    }
+  }
+}
+
 void ht_fill_rows(uint8_t* bases, uint8_t* quals, int64_t n_cols,
                   int64_t length, const uint64_t* codes_p,
                   const uint64_t* lens_p, const int64_t* op_s,
@@ -477,21 +552,8 @@ void ht_fill_rows(uint8_t* bases, uint8_t* quals, int64_t n_cols,
                         (int)strand_rev[i], (const uint8_t*)qseq_p[i],
                         (const uint8_t*)qqual_p[i], anchor, max_ins);
 
-  const int64_t BS = 64;
-  for (int64_t l0 = 0; l0 < length; l0 += BS) {
-    int64_t l1 = std::min(l0 + BS, length);
-    for (int64_t i0 = 0; i0 < n; i0 += BS) {
-      int64_t i1 = std::min(i0 + BS, n);
-      for (int64_t l = l0; l < l1; ++l) {
-        uint8_t* db = bases + l * n_cols + 1;
-        uint8_t* dq = quals + l * n_cols + 1;
-        for (int64_t i = i0; i < i1; ++i) {
-          db[i] = sb[i * length + l];
-          dq[i] = sq[i * length + l];
-        }
-      }
-    }
-  }
+  scatter_rows_to_cols(sb, n, length, bases, n_cols);
+  scatter_rows_to_cols(sq, n, length, quals, n_cols);
   free(sb);
 }
 
@@ -695,5 +757,272 @@ void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
   }
 #endif
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-READ featurization (reference: the whole of src/features.rs:326-583 in
+// one call). One build call runs, for every window of one target read:
+// window grouping, the long-indel filter, accuracy sort, max-ins, the flat
+// fill + SIMD transpose, the first-pass supported mask, haplotype phase-score
+// accumulation, the top-30 re-rank, all-gap column compaction and the final
+// supported positions. The Python per-window orchestration this replaces was
+// ~30-50% of featgen wall time (round-3 profile).
+//
+// Protocol: ht_read_build fills per-window dims (final length, #supported,
+// #rows) and returns an opaque handle; ht_read_emit copies the finished
+// windows into caller-allocated buffers (pointer arrays, one per window);
+// ht_read_free releases the handle. Build returns nullptr on allocation
+// failure or malformed input — the caller falls back to the per-window path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RFRow {
+  int32_t aln;
+  int64_t t_ws, q_ws, op_s, off_s, op_e, off_e;
+  double acc;
+};
+
+struct RFWin {
+  std::vector<uint8_t> bases, quals;  // final row-major (len, top_k + 1)
+  std::vector<uint16_t> sup_pos;
+  std::vector<uint8_t> sup_ins;
+  std::vector<int32_t> row_aln;  // re-ranked row -> caller aln index
+  int64_t len = 0;
+};
+
+struct RFStaged {
+  std::vector<uint8_t> bases, quals;  // first-pass (length, n_cols)
+  std::vector<int64_t> anchor;        // win_len + 1
+  std::vector<RFRow> rows;            // accuracy-sorted
+  int64_t length = 0, n_cols = 0, win_len = 0;
+};
+
+struct RFHandle {
+  std::vector<RFWin> wins;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ht_read_build(
+    int64_t n_alns, const uint64_t* codes_p, const uint64_t* lens_p,
+    const int64_t* n_ops, const int64_t* tstart, const int64_t* tend,
+    const int64_t* tlen, const int64_t* qstart, const int64_t* qend,
+    const uint8_t* strand_rev, const uint64_t* qseq_p, const uint64_t* qqual_p,
+    const int64_t* qid_local, int64_t n_qid, const uint8_t* tseq,
+    const uint8_t* tqual, int64_t read_len, int64_t W, int64_t top_k,
+    int64_t max_indel, int64_t no_aln_qual, int64_t* out_len,
+    int64_t* out_nsup, int64_t* out_nrows) {
+  const int64_t n_windows = (read_len + W - 1) / W;
+  const auto& upper = upper_table();
+
+  std::vector<RFStaged> staged(n_windows);
+  std::vector<int64_t> tmp;
+
+  // 1. Window grouping + long-indel filter (src/features.rs:362-383).
+  for (int64_t a = 0; a < n_alns; ++a) {
+    int64_t max_rows = (tend[a] - tstart[a]) / W + 3;
+    tmp.resize((size_t)(max_rows * 8));
+    int64_t nr = ht_extract_windows(
+        (const uint8_t*)codes_p[a], (const int32_t*)lens_p[a], n_ops[a],
+        tstart[a], tend[a], tlen[a], qstart[a], qend[a], W, tmp.data(),
+        max_rows);
+    if (nr < 0) return nullptr;
+    const uint8_t* cods = (const uint8_t*)codes_p[a];
+    const int32_t* lns = (const int32_t*)lens_p[a];
+    for (int64_t r = 0; r < nr; ++r) {
+      const int64_t* row = tmp.data() + 8 * r;
+      int64_t w = row[0];
+      if (w < 0 || w >= n_windows) return nullptr;
+      bool bad = false;  // raw op lengths, as in window_has_long_indel
+      for (int64_t j = row[4]; j < row[6]; ++j)
+        if (cods[j] != OP_M && lns[j] > max_indel) { bad = true; break; }
+      if (bad) continue;
+      staged[w].rows.push_back(
+          {(int32_t)a, row[1], row[2], row[4], row[5], row[6], row[7], 0.0});
+    }
+  }
+
+  std::vector<int64_t> num((size_t)n_qid, 0), den((size_t)n_qid, 0);
+  std::vector<uint8_t> scratch;
+  std::vector<int32_t> max_ins;
+  std::vector<uint8_t> mask;
+
+  // 2. First pass per window: sort, fill, supported, phase accumulation.
+  for (int64_t w = 0; w < n_windows; ++w) {
+    RFStaged& st = staged[w];
+    const int64_t win_start = w * W;
+    st.win_len = (w == n_windows - 1) ? read_len - win_start : W;
+    auto& rows = st.rows;
+    const int64_t n = (int64_t)rows.size();
+
+    // Window-local accuracy, stable-sorted descending (features.rs:386-409).
+    for (auto& r : rows)
+      r.acc = ht_window_accuracy(
+          (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+          r.op_s, r.off_s, r.op_e, r.off_e, tseq + r.t_ws,
+          (const uint8_t*)qseq_p[r.aln] + r.q_ws);
+    std::stable_sort(rows.begin(), rows.end(),
+                     [](const RFRow& x, const RFRow& y) { return x.acc > y.acc; });
+
+    max_ins.assign((size_t)st.win_len, 0);
+    for (auto& r : rows)
+      ht_max_ins((const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+                 r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
+                 max_ins.data());
+    st.anchor.resize((size_t)st.win_len + 1);
+    st.anchor[0] = 0;
+    for (int64_t t = 0; t < st.win_len; ++t)
+      st.anchor[t + 1] = st.anchor[t] + 1 + max_ins[t];
+    st.length = st.anchor[st.win_len];
+    st.n_cols = 1 + std::max<int64_t>(n, top_k);
+
+    st.bases.assign((size_t)(st.length * st.n_cols), '.');
+    st.quals.assign((size_t)(st.length * st.n_cols), (uint8_t)no_aln_qual);
+    for (int64_t l = 0; l < st.length; ++l) st.bases[l * st.n_cols] = '*';
+    for (int64_t t = 0; t < st.win_len; ++t) {
+      st.bases[st.anchor[t] * st.n_cols] = tseq[win_start + t];
+      st.quals[st.anchor[t] * st.n_cols] = tqual[win_start + t];
+    }
+
+    if (n) {
+      scratch.resize((size_t)(2 * n * st.length));
+      uint8_t* sb = scratch.data();
+      uint8_t* sq = sb + n * st.length;
+      memset(sq, (int)no_aln_qual, (size_t)(n * st.length));
+      for (int64_t i = 0; i < n; ++i) {
+        const RFRow& r = rows[i];
+        fill_query_row_flat(
+            sb + i * st.length, sq + i * st.length, st.length,
+            (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+            r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
+            (int)strand_rev[r.aln], (const uint8_t*)qseq_p[r.aln] + r.q_ws,
+            (const uint8_t*)qqual_p[r.aln] + r.q_ws, st.anchor.data(),
+            max_ins.data());
+      }
+      scatter_rows_to_cols(sb, n, st.length, st.bases.data(), st.n_cols);
+      scatter_rows_to_cols(sq, n, st.length, st.quals.data(), st.n_cols);
+    }
+
+    // Haplotype phase scores accumulate over supported *anchor* columns
+    // only: insertion columns carry '*' in the target row and are excluded
+    // by the tgt != GAP filter (features.rs:461-509; extract.py).
+    if (n) {
+      const int64_t thresh = (int64_t)((double)st.n_cols * 0.1);
+      mask.resize((size_t)st.length);
+      ht_supported_mask(st.bases.data(), st.length, st.n_cols, thresh,
+                        mask.data());
+      for (int64_t t = 0; t < st.win_len; ++t) {
+        const int64_t l = st.anchor[t];
+        if (!mask[l]) continue;
+        const uint8_t* rowp = st.bases.data() + l * st.n_cols;
+        const uint8_t tu = upper[rowp[0]];
+        for (int64_t c = 1; c <= n; ++c) {
+          const int64_t q = qid_local[rows[c - 1].aln];
+          if (upper[rowp[c]] == tu) ++num[q]; else ++den[q];
+        }
+      }
+    }
+  }
+
+  // 3. Phase scores (features.rs:502-509): (n/t) * ln(t + 1).
+  std::vector<double> score((size_t)n_qid, 0.0);
+  for (int64_t q = 0; q < n_qid; ++q) {
+    const int64_t t = num[q] + den[q];
+    if (t) score[q] = ((double)num[q] / (double)t) * std::log((double)t + 1.0);
+  }
+
+  // 4. Second pass: re-rank rows, drop all-gap columns, final supported.
+  RFHandle* h = new (std::nothrow) RFHandle();
+  if (h == nullptr) return nullptr;
+  h->wins.resize((size_t)n_windows);
+  const int64_t C = top_k + 1;
+  std::vector<int32_t> sr, colmap((size_t)C);
+  for (int64_t w = 0; w < n_windows; ++w) {
+    RFStaged& st = staged[w];
+    RFWin& wn = h->wins[w];
+    const int64_t n = (int64_t)st.rows.size();
+
+    sr.resize((size_t)n + 1);
+    for (int64_t i = 0; i <= n; ++i) sr[i] = (int32_t)i;
+    // target row (score +inf) stays first; stable sort keeps accuracy order
+    // among equal scores, matching the Python sorted(key=-score).
+    std::stable_sort(sr.begin() + 1, sr.end(), [&](int32_t x, int32_t y) {
+      return score[qid_local[st.rows[x - 1].aln]] >
+             score[qid_local[st.rows[y - 1].aln]];
+    });
+    const int64_t m = std::min<int64_t>(n + 1, C);
+    for (int64_t j = 0; j < m; ++j) colmap[j] = sr[j];
+    for (int64_t j = m; j < C; ++j) colmap[j] = (int32_t)j;  // '.' padding
+
+    wn.row_aln.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i)
+      wn.row_aln[i] = st.rows[sr[i + 1] - 1].aln;
+
+    wn.bases.resize((size_t)(st.length * C));
+    wn.quals.resize((size_t)(st.length * C));
+    int64_t L2 = 0;
+    for (int64_t l = 0; l < st.length; ++l) {
+      const uint8_t* rb = st.bases.data() + l * st.n_cols;
+      const uint8_t* rq = st.quals.data() + l * st.n_cols;
+      uint8_t* ob = wn.bases.data() + L2 * C;
+      uint8_t* oq = wn.quals.data() + L2 * C;
+      bool keep = false;
+      for (int64_t j = 0; j < C; ++j) {
+        const uint8_t b = rb[colmap[j]];
+        ob[j] = b;
+        oq[j] = rq[colmap[j]];
+        keep |= (b != '.' && b != '*' && b != '#');
+      }
+      L2 += keep;
+    }
+    wn.bases.resize((size_t)(L2 * C));
+    wn.quals.resize((size_t)(L2 * C));
+    wn.len = L2;
+    st.bases.clear(); st.bases.shrink_to_fit();
+    st.quals.clear(); st.quals.shrink_to_fit();
+
+    const int64_t thresh2 = (int64_t)((double)C * 0.1);
+    mask.resize((size_t)L2);
+    ht_supported_mask(wn.bases.data(), L2, C, thresh2, mask.data());
+    int64_t apos = -1, last_anchor = -1;
+    for (int64_t l = 0; l < L2; ++l) {
+      const bool is_anchor = wn.bases[l * C] != '*';
+      if (is_anchor) { ++apos; last_anchor = l; }
+      if (mask[l]) {
+        wn.sup_pos.push_back((uint16_t)apos);
+        wn.sup_ins.push_back((uint8_t)(is_anchor ? 0 : l - last_anchor));
+      }
+    }
+
+    out_len[w] = L2;
+    out_nsup[w] = (int64_t)wn.sup_pos.size();
+    out_nrows[w] = n;
+  }
+  return h;
+}
+
+void ht_read_emit(void* handle, const uint64_t* bases_p,
+                  const uint64_t* quals_p, const uint64_t* sup_pos_p,
+                  const uint64_t* sup_ins_p, const uint64_t* row_aln_p,
+                  int64_t top_k) {
+  RFHandle* h = (RFHandle*)handle;
+  const int64_t C = top_k + 1;
+  for (size_t w = 0; w < h->wins.size(); ++w) {
+    const RFWin& wn = h->wins[w];
+    memcpy((void*)bases_p[w], wn.bases.data(), (size_t)(wn.len * C));
+    memcpy((void*)quals_p[w], wn.quals.data(), (size_t)(wn.len * C));
+    memcpy((void*)sup_pos_p[w], wn.sup_pos.data(),
+           wn.sup_pos.size() * sizeof(uint16_t));
+    memcpy((void*)sup_ins_p[w], wn.sup_ins.data(), wn.sup_ins.size());
+    memcpy((void*)row_aln_p[w], wn.row_aln.data(),
+           wn.row_aln.size() * sizeof(int32_t));
+  }
+}
+
+void ht_read_free(void* handle) { delete (RFHandle*)handle; }
 
 }  // extern "C"

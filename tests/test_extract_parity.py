@@ -36,19 +36,8 @@ def dataset(tmp_path_factory):
     return reads, grouped
 
 
-def test_batched_native_matches_numpy(dataset, monkeypatch):
-    reads, grouped = dataset
-    items = list(grouped.items())[:8]
-
-    native_out = [
-        extract_read_features(rid, reads, alns, 512) for rid, alns in items
-    ]
-    monkeypatch.setattr(native, "available", lambda: False)
-    numpy_out = [
-        extract_read_features(rid, reads, alns, 512) for rid, alns in items
-    ]
-
-    for fn, fp in zip(native_out, numpy_out):
+def _assert_same(a, b):
+    for fn, fp in zip(a, b):
         assert len(fn) == len(fp)
         for wn, wp in zip(fn, fp):
             assert wn.wid == wp.wid and wn.n_alns == wp.n_alns
@@ -56,3 +45,26 @@ def test_batched_native_matches_numpy(dataset, monkeypatch):
             np.testing.assert_array_equal(wn.bases, wp.bases)
             np.testing.assert_array_equal(wn.quals, wp.quals)
             np.testing.assert_array_equal(wn.supported, wp.supported)
+
+
+def test_batched_native_matches_numpy(dataset, monkeypatch):
+    """Three-way: read-level native == window-batched native == pure numpy."""
+    import herro_tpu.features.extract as extract_mod
+
+    reads, grouped = dataset
+    items = list(grouped.items())[:8]
+
+    read_level = [
+        extract_read_features(rid, reads, alns, 512) for rid, alns in items
+    ]
+    monkeypatch.setattr(extract_mod, "_READ_LEVEL", False)
+    window_batched = [
+        extract_read_features(rid, reads, alns, 512) for rid, alns in items
+    ]
+    monkeypatch.setattr(native, "available", lambda: False)
+    numpy_out = [
+        extract_read_features(rid, reads, alns, 512) for rid, alns in items
+    ]
+
+    _assert_same(read_level, window_batched)
+    _assert_same(window_batched, numpy_out)
