@@ -83,18 +83,24 @@ def _device_only(batch_size: int, L: int, S: int, iters: int) -> float:
 
 def _chip_only(batch_size: int, L: int, S: int, n: int = 10,
                int8: bool = False) -> float:
-    """On-chip windows/s of the fused step: n data-dependent iterations
-    chained inside one jit, one dispatch, one (tiny) fetch."""
     import dataclasses
 
+    from herro_tpu.models.model import R10_CONFIG
+
+    return _chip_only_cfg(
+        dataclasses.replace(R10_CONFIG, int8=int8), batch_size, L, S, n
+    )
+
+
+def _chip_only_cfg(cfg, batch_size: int, L: int, S: int, n: int = 10) -> float:
+    """On-chip windows/s of the fused step: n data-dependent iterations
+    chained inside one jit, one dispatch, one (tiny) fetch."""
     import jax
     import jax.numpy as jnp
 
-    from herro_tpu.models.model import R10_CONFIG, init_params
+    from herro_tpu.models.model import init_params
     from herro_tpu.pipeline.infer import make_correct_step
     from __graft_entry__ import _example_batch
-
-    cfg = dataclasses.replace(R10_CONFIG, int8=int8)
     params = init_params(cfg, jax.random.PRNGKey(0))
     step = make_correct_step(cfg)
 

@@ -833,20 +833,40 @@ def _banded_flash_outproj_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     ik_row = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
 
+    # Block-aligned band (w == n_side*blk, the production shape): the band
+    # test degenerates to a *static* triangle on the two edge tiles and to
+    # no test at all on the inner tiles — the general |d0+c|<=w evaluation
+    # (4-5 VPU ops over [blk, blk] per tile) was ~1/3 of the measured flash
+    # time at L=9216 (tools/ablate_fused.py round 3).
+    aligned = local_window % blk == 0
+    if aligned:
+        tri_lo = d0 <= 0  # leftmost tile: ik >= iq
+        tri_hi = d0 >= 0  # rightmost tile: ik <= iq
+
     parts = []
     for t in range(n_tiles):
         j = t - n_side
         kb = jnp.clip(qi + j, 0, nq - 1)
-        # A clamped (duplicated) edge tile must not contribute: poison its
-        # offset so the band test fails everywhere.
-        c = jnp.where(qi + j != kb, jnp.int32(1 << 20), (qi - kb) * blk)
         s = scale * jax.lax.dot_general(
             q, k_refs[t][0, 0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [blk, blk]
-        band = jnp.abs(d0 + c) <= local_window
-        mask = band & ((kb * blk + ik_row) < length)
+        if aligned:
+            # Clamped (duplicated) edge tiles contribute nothing: the valid
+            # scalar folds into the [1, blk] length mask for free.
+            valid = qi + j == kb
+            mask = valid & ((kb * blk + ik_row) < length)  # [1, blk]
+            if t == 0:
+                mask = mask & tri_lo
+            elif t == n_tiles - 1:
+                mask = mask & tri_hi
+        else:
+            # General band: poison the offset of clamped tiles so the band
+            # test fails everywhere.
+            c = jnp.where(qi + j != kb, jnp.int32(1 << 20), (qi - kb) * blk)
+            band = jnp.abs(d0 + c) <= local_window
+            mask = band & ((kb * blk + ik_row) < length)
         parts.append(jnp.where(mask, s, NEG_INF))
 
     s = jnp.concatenate(parts, axis=1)  # [blk, n_tiles*blk]
