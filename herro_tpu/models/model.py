@@ -89,7 +89,22 @@ R10_CONFIG = ModelConfig(local_window=512)
 # absorb the noisier pore chemistry).
 R9_CONFIG = ModelConfig(d_ff=1536, local_window=512)
 
-CONFIGS = {"tiny": TINY_CONFIG, "r10": R10_CONFIG, "r9": R9_CONFIG}
+# Wider-shallower same-parameter-budget variant (ARCHITECTURE.md roadmap
+# item 4): higher arithmetic intensity per HBM byte measures +44%/+29%
+# step throughput over the d256x8L flagship at production widths
+# (tools/variant_step_time.py). head_dim stays 128 (4 heads) so flash tiles
+# are never lane-padded. Promoted to flagship only if the curriculum-trained
+# checkpoint matches quality on matched seeds.
+R10_WIDE_CONFIG = ModelConfig(
+    d_model=512, n_layers=3, n_heads=4, d_ff=1024, local_window=512
+)
+
+CONFIGS = {
+    "tiny": TINY_CONFIG,
+    "r10": R10_CONFIG,
+    "r9": R9_CONFIG,
+    "r10w": R10_WIDE_CONFIG,
+}
 
 
 class _DenseParams(nn.Module):
