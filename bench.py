@@ -222,7 +222,34 @@ def _e2e(
     return n_windows / dt, n_windows
 
 
+def _await_quiet_host(threshold: float = 0.5, max_wait_s: float = 600.0) -> float:
+    """Refuse to measure on a loaded host (a background training job once
+    contended featgen and sank a round's headline by 10%): wait up to
+    ``max_wait_s`` for the 1-min load to drop below ``threshold``, warn if
+    it never does, and return the load the run started with."""
+    import sys
+
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() - t0 < max_wait_s:
+        print(
+            f"[bench] host busy (1-min load {load:.2f} > {threshold}); "
+            "waiting for it to go quiet...",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+        load = os.getloadavg()[0]
+    if load > threshold:
+        print(
+            f"[bench] WARNING: host still loaded ({load:.2f}) after "
+            f"{max_wait_s:.0f}s — e2e numbers will be contended",
+            file=sys.stderr,
+        )
+    return load
+
+
 def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
+    start_load = _await_quiet_host()
     try:  # cgroup-aware: cpu_count() reports the host, not the quota
         n_cores = len(os.sched_getaffinity(0))
     except AttributeError:
@@ -251,6 +278,7 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
                 "chip_windows_per_s_l9216": round(chip_prod, 2),
                 "device_windows_per_s": round(dev, 2),
                 "feat_procs": feat_procs,
+                "start_load_1min": round(start_load, 2),
             }
         )
     )

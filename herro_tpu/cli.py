@@ -89,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1,
         help="tensor-parallel degree (heads/FFN shard over a 2-D data x model "
-        "mesh; must divide --devices)",
+        "mesh; must divide --devices). NOTE: tp > 1 runs the jnp twin kernels "
+        "under GSPMD, not the fused pallas fast path — expect lower per-chip "
+        "throughput than pure data parallelism",
     )
     pi.add_argument(
         "--int8",
@@ -417,22 +419,26 @@ def cmd_inference(args) -> None:
 
     timers = StageTimers()
     t0 = time.time()
-    n = run_correction(
-        reads,
-        source,
-        runner,
-        output_path,
-        args.window_size,
-        args.batch_size,
-        feat_threads=args.feat_gen_threads,
-        on_read_done=lambda rid: progress.inc(),
-        resume=args.resume,
-        timers=timers,
-        pipeline_depth=args.pipeline_depth,
-        featgen_pool=featgen_pool,
-    )
-    if featgen_pool is not None:
-        featgen_pool.close()
+    try:
+        n = run_correction(
+            reads,
+            source,
+            runner,
+            output_path,
+            args.window_size,
+            args.batch_size,
+            feat_threads=args.feat_gen_threads,
+            on_read_done=lambda rid: progress.inc(),
+            resume=args.resume,
+            timers=timers,
+            pipeline_depth=args.pipeline_depth,
+            featgen_pool=featgen_pool,
+        )
+    finally:
+        # Always tear the pool down: leaked worker queues wedge interpreter
+        # shutdown on their feeder-thread join (see procpool.close).
+        if featgen_pool is not None:
+            featgen_pool.close(terminate=sys.exc_info()[0] is not None)
     if args.profile_dir:
         jax.profiler.stop_trace()
     progress.finish()

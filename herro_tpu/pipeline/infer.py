@@ -129,6 +129,15 @@ class CorrectionRunner:
             # With tensor parallelism GSPMD partitions the (jnp twin) ops;
             # the pallas fast path under TP would need a 2-D shard_map and
             # is not wired (TP is an option beyond the reference's needs).
+            if tp > 1:
+                import sys
+
+                print(
+                    f"[herro-tpu] tp={tp}: running jnp twin kernels under "
+                    "GSPMD (the fused pallas fast path is data-parallel "
+                    "only); expect lower per-chip throughput",
+                    file=sys.stderr,
+                )
             self._step = jax.jit(
                 step,
                 in_shardings=(pshard, data, data, data, data, data),

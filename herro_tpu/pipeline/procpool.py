@@ -23,11 +23,13 @@ which keeps batching/consensus state lock-free.
 
 from __future__ import annotations
 
+import atexit
 import multiprocessing as mp
 import queue as queue_mod
 import sys
 import threading
 import traceback
+import weakref
 from typing import Callable, Iterable
 
 from ..constants import INFER_CHANNEL_CAP_FACTOR
@@ -69,6 +71,18 @@ def can_fork() -> bool:
     return "fork" in mp.get_all_start_methods()
 
 
+# Safety net for pools leaked without close(): tear them down before the
+# interpreter's multiprocessing finalizers try to *join* their queue feeder
+# threads (a feeder blocked on a full pipe would hang shutdown).
+_LIVE_POOLS: "weakref.WeakSet[FeatgenPool]" = weakref.WeakSet()
+
+
+@atexit.register
+def _close_leaked_pools() -> None:
+    for pool in list(_LIVE_POOLS):
+        pool.close(terminate=True)
+
+
 class FeatgenPool:
     """A reusable pool of forked feature-generation workers.
 
@@ -104,6 +118,7 @@ class FeatgenPool:
             w.start()
         _WORKER_STATE.clear()  # children hold their fork-time copy
         self._closed = False
+        _LIVE_POOLS.add(self)
 
     def run(
         self,
@@ -177,6 +192,7 @@ class FeatgenPool:
         if self._closed:
             return
         self._closed = True
+        _LIVE_POOLS.discard(self)
         for w in self._workers:
             if terminate:
                 w.terminate()
@@ -184,6 +200,24 @@ class FeatgenPool:
                 self._task_q.put(None)
         for w in self._workers:
             w.join(timeout=30)
+        for w in self._workers:
+            if w.is_alive():  # terminate lost the race / worker wedged
+                w.kill()
+                w.join(timeout=5)
+        # Deterministic queue teardown. Each mp.Queue owns a feeder thread
+        # that, at interpreter exit, is *joined* by a multiprocessing
+        # finalizer — and a feeder blocked writing to a full pipe nobody
+        # reads anymore (workers are gone) hangs that join forever, wedging
+        # pytest after "N passed". Drain what we can, detach the exit-time
+        # join, and close the pipes now.
+        for q in (self._task_q, self._result_q):
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+            q.cancel_join_thread()
+            q.close()
 
     def __enter__(self) -> "FeatgenPool":
         return self
