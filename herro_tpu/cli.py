@@ -214,6 +214,15 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--het-rate", type=float, default=0.005)
     pe.add_argument("--seed", type=int, default=12345)
     pe.add_argument(
+        "--profile",
+        choices=["systematic"],
+        default=None,
+        help="named simulator stress profile: 'systematic' adds "
+        "locus-correlated confident miscalls (half strand-biased), "
+        "adapter-chimera junction reads, and coverage dropouts "
+        "(training/eval.py SIM_PROFILES)",
+    )
+    pe.add_argument(
         "--counting-only",
         action="store_true",
         help="diagnostic: decode with the counting rule only (model disabled "
@@ -574,7 +583,7 @@ def cmd_eval(args) -> None:
     import json
 
     from .models.checkpoint import load_or_init
-    from .training.eval import evaluate
+    from .training.eval import SIM_PROFILES, evaluate
 
     cfg, params = load_or_init(args.model)
     res = evaluate(
@@ -594,6 +603,7 @@ def cmd_eval(args) -> None:
         with_baseline=args.with_baseline,
         int8=args.int8,
         shuffle_quals=args.shuffle_quals,
+        sim_extra=SIM_PROFILES[args.profile] if args.profile else None,
     )
     print(json.dumps(res.as_dict(), indent=1))
 

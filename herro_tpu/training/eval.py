@@ -104,20 +104,43 @@ class ScoreAccumulator:
         return out
 
 
+# Named simulator stress profiles (eval --profile NAME). `systematic` is
+# the real-data-robustness proxy: locus-correlated confident miscalls
+# (half strand-biased), adapter-chimera junction reads, and coverage
+# dropouts — the regimes where plain pileup counting fails and where the
+# reference's real-minimap2-pileup-trained model earns its assembly QV.
+SIM_PROFILES: dict[str, dict] = {
+    "systematic": dict(
+        sys_rate=0.002,
+        sys_strength=(0.3, 0.8),
+        sys_strand_frac=0.5,
+        chimera_rate=0.05,
+        n_dropouts=2,
+        dropout_keep=0.25,
+    ),
+}
+
+
 def _truth_context(ds: SimDataset, r: SimRead):
     """(truth, other, het_mask, hp_mask) in the read's stored orientation.
 
     ``other`` is the opposite haplotype's sequence over the same span (None
     when haploid); ``hp_mask`` flags truth positions inside homopolymer runs
-    of length >= 3.
+    of length >= 3. Chimeric reads concatenate their parts' contexts.
     """
-    own = ds.hap_seq(r.hap)[r.start : r.end]
-    truth = _COMP[own][::-1].copy() if r.rc else own
+    parts = r.parts if r.parts is not None else [r]
+    truths, others = [], []
+    for p in parts:
+        own = ds.hap_seq(p.hap)[p.start : p.end]
+        truths.append(_COMP[own][::-1].copy() if p.rc else own)
+        if ds.haplotypes is not None:
+            o = ds.hap_seq(1 - p.hap)[p.start : p.end]
+            others.append(_COMP[o][::-1].copy() if p.rc else o)
+    truth = truths[0] if len(truths) == 1 else np.concatenate(truths)
     other = None
     het = None
     if ds.haplotypes is not None:
-        o = ds.hap_seq(1 - r.hap)[r.start : r.end]
-        other = _COMP[o][::-1].copy() if r.rc else o
+        other = others[0] if len(others) == 1 else np.concatenate(others)
         het = truth != other
 
     n = truth.shape[0]
@@ -325,6 +348,7 @@ def evaluate(
     shuffle_quals: bool = False,
     qual_mode: str = "informative",
     int8: bool | None = None,
+    sim_extra: dict | None = None,
 ) -> EvalResult:
     """Evaluate a checkpoint (or a decode mode) on a fresh simulation.
 
@@ -350,6 +374,7 @@ def evaluate(
         het_rate=het_rate,
         seed=seed,
         qual_mode=qual_mode,
+        **(sim_extra or {}),
     )
     if shuffle_quals:
         qrng = np.random.default_rng(seed ^ 0x5EED)

@@ -37,6 +37,14 @@ class SimRead:
     ins_after: list[bytes]  # inserted bases after each genome position (fwd)
     hap: int = 0  # haplotype the read was sampled from
     quals: bytes | None = None  # stored-orientation phred+33; None = constant
+    # Chimeric/junction read (adapter chimera): ``parts`` holds the two+
+    # contiguous-span segments whose stored sequences concatenate to ``seq``.
+    # When set, the span fields above describe the FIRST part only; truth,
+    # labels and PAF generation dispatch per part (real aligners align each
+    # segment separately, so junction-spanning windows go uncovered and the
+    # corrected read splits there — the reference's <2-alignment split rule,
+    # src/consensus.rs:104-110).
+    parts: list["SimRead"] | None = None
 
     @property
     def length(self) -> int:
@@ -67,6 +75,8 @@ class SimDataset:
     genome: bytes  # haplotype 0
     reads: list[SimRead]
     haplotypes: list[bytes] | None = None  # [hap0, hap1]; None = haploid
+    # genome intervals where read sampling was suppressed (coverage dropouts)
+    dropouts: list[tuple[int, int]] = field(default_factory=list)
 
     def hap_seq(self, hap: int) -> np.ndarray:
         if self.haplotypes is None:
@@ -177,6 +187,13 @@ def simulate(
     q_read_sigma: float = 4.0,
     q_err_mean: float = 13.0,
     miscal_rate: float = 0.06,
+    sys_rate: float = 0.0,
+    sys_strength: tuple[float, float] = (0.3, 0.8),
+    sys_strand_frac: float = 0.5,
+    chimera_rate: float = 0.0,
+    n_dropouts: int = 0,
+    dropout_len: tuple[int, int] = (2_000, 6_000),
+    dropout_keep: float = 0.25,
 ) -> SimDataset:
     """Simulate a (optionally diploid) genome and error-laden reads.
 
@@ -194,6 +211,31 @@ def simulate(
     in the reference (src/haec_io.rs:57-60, src/inference.rs:16-21), so the
     simulator must make it a real signal. ``"constant"`` restores the flat
     Q40 of earlier rounds.
+
+    Systematic-error knobs (the regimes where real pileup consensus fails —
+    the reference's model earns its assembly QV on real minimap2 pileups
+    full of them, and per-read-independent errors alone can't reproduce
+    that):
+
+    * ``sys_rate`` — fraction of genome positions that are locus-correlated
+      miscall hotspots: every read covering the position miscalls it to the
+      SAME wrong base with a per-hotspot probability drawn from
+      ``sys_strength``, so the wrong base can win a plurality vote.
+      Hotspot miscalls carry *confident* base qualities (real systematic
+      basecaller errors look confident — that is precisely what makes them
+      systematic), unlike the random-error low-Q signal.
+    * ``sys_strand_frac`` — fraction of hotspots gated to one strand
+      (forward-only or reverse-only, chosen per hotspot): strand-biased
+      errors are visible in the pileup through the case/gap encoding of
+      reverse rows (src/features.rs:139-163) and are separable from true
+      SNVs only by that structure.
+    * ``chimera_rate`` — probability a read is an adapter-chimera junction
+      of two independent genome spans (stored as ``SimRead.parts``); PAF
+      rows are emitted per segment, so junction windows go uncovered and
+      the corrected read must split there.
+    * ``n_dropouts`` / ``dropout_len`` / ``dropout_keep`` — coverage
+      dropout intervals: reads overlapping one are rejected with
+      probability ``1 - dropout_keep``, thinning the local pileup.
     """
     rng = np.random.default_rng(seed)
     genome = rng.choice(_BASES, size=genome_len)
@@ -211,16 +253,54 @@ def simulate(
 
     hp_w = [_homopolymer_weights(h, hp_indel_boost) for h in hap_arrays]
 
-    reads = []
-    for i in range(n_reads):
+    # Locus-correlated miscall hotspots, dense over the genome: wrong base
+    # (0 = not a hotspot), per-hotspot strength, strand gate (0 both,
+    # 1 forward-stored only, 2 reverse-stored only).
+    sys_wrong = np.zeros(genome_len, dtype=np.uint8)
+    sys_p = np.zeros(genome_len, dtype=np.float32)
+    sys_gate = np.zeros(genome_len, dtype=np.int8)
+    if sys_rate > 0:
+        hot = np.nonzero(rng.random(genome_len) < sys_rate)[0]
+        if hot.size:
+            base_idx = np.searchsorted(_BASES, genome[hot])
+            shift = rng.integers(1, 4, size=hot.size)
+            sys_wrong[hot] = _BASES[(base_idx + shift) % 4]
+            sys_p[hot] = rng.uniform(*sys_strength, size=hot.size)
+            biased = rng.random(hot.size) < sys_strand_frac
+            gates = np.zeros(hot.size, dtype=np.int8)
+            gates[biased] = rng.integers(1, 3, size=int(biased.sum()))
+            sys_gate[hot] = gates
+
+    dropouts: list[tuple[int, int]] = []
+    for _ in range(n_dropouts):
+        dl = int(rng.integers(dropout_len[0], dropout_len[1] + 1))
+        dl = min(dl, genome_len)
+        s = int(rng.integers(0, genome_len - dl + 1))
+        dropouts.append((s, s + dl))
+
+    def _make_part(length: int | None = None) -> SimRead:
+        """One contiguous-span error-laden segment with informative quals.
+
+        The RNG draw order for default knobs (no hotspots/dropouts/chimeras)
+        is frozen: hap, length, start, emitted, subs, shift, ins_mask,
+        per-insertion draws, rc, quals — changing it would silently shift
+        every seeded dataset (frozen featurization goldens, matched-seed
+        eval baselines, training caches). New features only ADD draws, and
+        only when enabled.
+        """
         hap = int(rng.integers(0, len(hap_arrays)))
         source = hap_arrays[hap]
-
-        length = int(rng.integers(read_len[0], read_len[1] + 1))
+        if length is None:
+            length = int(rng.integers(read_len[0], read_len[1] + 1))
         length = min(length, genome_len)
-        start = int(rng.integers(0, genome_len - length + 1))
-        end = start + length
-
+        for _attempt in range(64):
+            start = int(rng.integers(0, genome_len - length + 1))
+            end = start + length
+            if not dropouts:
+                break
+            hit = any(start < d1 and end > d0 for d0, d1 in dropouts)
+            if not hit or rng.random() < dropout_keep:
+                break
         span = source[start:end]
         w = hp_w[hap][start:end]
         emitted = rng.random(length) >= del_rate * w
@@ -237,6 +317,21 @@ def simulate(
             k = int(rng.integers(1, 4))
             ins_after[j] = rng.choice(_BASES, size=k).tobytes()
 
+        rc = bool(rng.random() < rc_prob)
+
+        # systematic hotspot miscalls: same wrong base for every covering
+        # read (strand-gated), overriding any random substitution there
+        sysm = np.zeros(length, dtype=bool)
+        w_g = sys_wrong[start:end]
+        if w_g.any():
+            # gate semantics: 0 = both strands, 1 = forward-stored reads
+            # only, 2 = reverse-stored reads only
+            gate = sys_gate[start:end]
+            sysm = (w_g != 0) & emitted
+            sysm &= (gate == 0) | (gate == (2 if rc else 1))
+            sysm &= rng.random(length) < sys_p[start:end]
+            sub[sysm] = w_g[sysm]
+
         chunks = []
         for j in range(length):
             if emitted[j]:
@@ -244,12 +339,10 @@ def simulate(
             if ins_after[j]:
                 chunks.append(ins_after[j])
         fwd = b"".join(chunks)
-
-        rc = bool(rng.random() < rc_prob)
         seq = _COMP[np.frombuffer(fwd, dtype=np.uint8)][::-1].tobytes() if rc else fwd
 
-        read = SimRead(
-            name=b"read_%d" % i,
+        part = SimRead(
+            name=b"",
             start=start,
             end=end,
             rc=rc,
@@ -260,13 +353,41 @@ def simulate(
             hap=hap,
         )
         if qual_mode == "informative":
-            read.quals = _informative_quals(
-                rng, emitted, subs & emitted, read.ins_lens, rc,
+            # hotspot miscalls are excluded from the error-qual draw: they
+            # get confident (correct-looking) qualities on purpose
+            part.quals = _informative_quals(
+                rng, emitted, subs & emitted & ~sysm, part.ins_lens, rc,
                 q_read_mean, q_read_sigma, q_err_mean, miscal_rate,
             )
+        return part
+
+    reads = []
+    for i in range(n_reads):
+        if chimera_rate > 0 and rng.random() < chimera_rate:
+            length = int(rng.integers(read_len[0], read_len[1] + 1))
+            l1 = max(length // 2, 1)
+            p1, p2 = _make_part(l1), _make_part(max(length - l1, 1))
+            read = SimRead(
+                name=b"read_%d" % i,
+                start=p1.start,
+                end=p1.end,
+                rc=p1.rc,
+                seq=p1.seq + p2.seq,
+                emitted=p1.emitted,
+                sub=p1.sub,
+                ins_after=p1.ins_after,
+                hap=p1.hap,
+                quals=(
+                    p1.quals + p2.quals if p1.quals is not None else None
+                ),
+                parts=[p1, p2],
+            )
+        else:
+            read = _make_part()
+            read.name = b"read_%d" % i
         reads.append(read)
 
-    return SimDataset(genome.tobytes(), reads, haplotypes)
+    return SimDataset(genome.tobytes(), reads, haplotypes, dropouts=dropouts)
 
 
 def _fwd_offset(read: SimRead, g0: int) -> int:
@@ -352,18 +473,34 @@ def _trim_to_m(
     return runs, tf, qf, tb, qb
 
 
+def _alignable_units(ds: SimDataset) -> list[tuple[int, SimRead, SimRead, int]]:
+    """(parent index, parent read, contiguous-span segment, stored-seq
+    offset of the segment) — one unit per normal read, one per chimera
+    part. Real aligners align each chimera segment separately, so PAF
+    geometry is per-segment with coordinates offset into the parent."""
+    units = []
+    for i, r in enumerate(ds.reads):
+        if r.parts is None:
+            units.append((i, r, r, 0))
+        else:
+            off = 0
+            for p in r.parts:
+                units.append((i, r, p, off))
+                off += p.length
+    return units
+
+
 def paf_rows(ds: SimDataset, min_overlap: int = 500) -> list[bytes]:
     """Exact PAF rows (with cg:Z: tags) for every overlapping read pair.
 
     Both orientations are emitted, like minimap2 --dual=yes
     (reference: src/mm2.rs:30)."""
     rows = []
-    n = len(ds.reads)
-    for ti in range(n):
-        for qi in range(n):
+    units = _alignable_units(ds)
+    for ti, ta_parent, a, t_off in units:
+        for qi, qb_parent, b, q_off in units:
             if ti == qi:
                 continue
-            a, b = ds.reads[ti], ds.reads[qi]
             g0, g1 = max(a.start, b.start), min(a.end, b.end)
             if g1 - g0 < min_overlap:
                 continue
@@ -404,15 +541,15 @@ def paf_rows(ds: SimDataset, min_overlap: int = 500) -> list[bytes]:
             rows.append(
                 b"\t".join(
                     [
-                        b.name,
-                        b"%d" % b.length,
-                        b"%d" % q_fwd_start,
-                        b"%d" % q_fwd_end,
+                        qb_parent.name,
+                        b"%d" % qb_parent.length,
+                        b"%d" % (q_fwd_start + q_off),
+                        b"%d" % (q_fwd_end + q_off),
                         strand,
-                        a.name,
-                        b"%d" % a.length,
-                        b"%d" % tstart,
-                        b"%d" % tend,
+                        ta_parent.name,
+                        b"%d" % ta_parent.length,
+                        b"%d" % (tstart + t_off),
+                        b"%d" % (tend + t_off),
                         b"0",
                         b"%d" % max(t_span, q_span),
                         b"60",
@@ -426,7 +563,11 @@ def paf_rows(ds: SimDataset, min_overlap: int = 500) -> list[bytes]:
 
 def true_sequence(ds: SimDataset, read: SimRead) -> bytes:
     """The error-free sequence a perfect corrector would output for ``read``:
-    its span on its *own haplotype*, in stored orientation."""
+    its span on its *own haplotype*, in stored orientation. For a chimeric
+    read this is the concatenation of its parts' truths (the junction is a
+    library artifact, not an error to repair)."""
+    if read.parts is not None:
+        return b"".join(true_sequence(ds, p) for p in read.parts)
     span = ds.hap_seq(read.hap)[read.start : read.end]
     return _COMP[span][::-1].tobytes() if read.rc else span.tobytes()
 
@@ -443,7 +584,22 @@ def read_truth_arrays(
       ins_truth[p]     — genome bases deleted from the read right after
                          position p (to be restored in insertion columns);
                          sparse dict, missing -> no deleted bases.
+
+    Chimeric reads concatenate their parts' arrays (each part owns a
+    contiguous stored-position range; entries per part == part.length).
     """
+    if read.parts is not None:
+        anchors = []
+        ins_all: dict[int, bytes] = {}
+        off = 0
+        for p in read.parts:
+            at, it = read_truth_arrays(ds, p)
+            anchors.append(at)
+            for k, v in it.items():
+                ins_all[k + off] = v
+            off += p.length
+        return np.concatenate(anchors), ins_all
+
     lut = np.full(256, 255, dtype=np.uint8)
     for k, c in enumerate(b"ACGT"):
         lut[c] = k
