@@ -79,31 +79,35 @@ TINY_CONFIG = ModelConfig(
     d_model=32, n_layers=2, n_heads=2, d_ff=64, base_embed_dim=4, dtype="float32"
 )
 
-# Flagship R10.4.1 configuration. Attention is banded to +-512 pileup
-# columns: consensus decisions are local, quality is unchanged vs full
-# attention (eval: Q21.69 vs Q21.71 on matched seeds) and the device step is
-# 2.2x faster at production window widths (L ~ 9k after insertions).
-R10_CONFIG = ModelConfig(local_window=512)
-
-# R9.4.1 variant (same topology; separate weights, slightly wider FFN to
-# absorb the noisier pore chemistry).
-R9_CONFIG = ModelConfig(d_ff=1536, local_window=512)
-
-# Wider-shallower same-parameter-budget variant (ARCHITECTURE.md roadmap
-# item 4): higher arithmetic intensity per HBM byte measures +44%/+29%
-# step throughput over the d256x8L flagship at production widths
-# (tools/variant_step_time.py). head_dim stays 128 (4 heads) so flash tiles
-# are never lane-padded. Promoted to flagship only if the curriculum-trained
-# checkpoint matches quality on matched seeds.
-R10_WIDE_CONFIG = ModelConfig(
+# Flagship R10.4.1 configuration (round-4 promotion): the wider-shallower
+# d512x3L same-parameter-budget topology. Promotion gate (matched seeds,
+# tools/eval_battery.py round 4) vs the previous d256x8L flagship:
+# standard Q39.18 vs Q39.27 (-0.09 dB, within the 0.2 dB gate), het 99.2%
+# both; R9-profile Q34.91 vs Q34.87 (+0.04); ~10x low-coverage within gate —
+# for +29-44% measured step throughput from higher arithmetic intensity
+# (tools/variant_step_time.py: 1097/554 vs 763/430 w/s at L=4608/9216).
+# head_dim stays 128 (the MXU lane width, 4 heads) so flash-attention tiles
+# are never lane-padded. Attention is banded to +-512 pileup columns:
+# consensus decisions are local; quality is unchanged vs full attention.
+R10_CONFIG = ModelConfig(
     d_model=512, n_layers=3, n_heads=4, d_ff=1024, local_window=512
 )
+R10_WIDE_CONFIG = R10_CONFIG  # promoted; alias kept for existing callers
+
+# Previous flagship topology (deep-narrow d256x8L) — checkpoints with this
+# config.json still load and run; kept as a named config for comparisons.
+R10_DEEP_CONFIG = ModelConfig(local_window=512)
+
+# R9.4.1 variant (d256x8L topology; separate weights, slightly wider FFN to
+# absorb the noisier pore chemistry).
+R9_CONFIG = ModelConfig(d_ff=1536, local_window=512)
 
 CONFIGS = {
     "tiny": TINY_CONFIG,
     "r10": R10_CONFIG,
     "r9": R9_CONFIG,
     "r10w": R10_WIDE_CONFIG,
+    "r10deep": R10_DEEP_CONFIG,
 }
 
 

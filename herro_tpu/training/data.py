@@ -69,6 +69,9 @@ class SimProfile:
     n_reads: int
     genome_len: int = 200_000
     seed: int = 0
+    # extra simulate() kwargs as (key, value) pairs — kept a tuple so the
+    # frozen profile stays hashable (systematic-error shards use this)
+    extra: tuple = ()
 
 
 # Pooled multi-regime curriculum. Coverage spans what real runs see after
@@ -93,6 +96,39 @@ CURRICULUM: tuple[SimProfile, ...] = (
     SimProfile("r9-low10x", 0.05, 0.03, 0.03, 0.005, 65, seed=109),
     SimProfile("r10-low9x", 0.02, 0.02, 0.02, 0.005, 60, seed=110),
     SimProfile("r9-low14x", 0.06, 0.035, 0.035, 0.005, 90, seed=111),
+    # Systematic-error shards (round 4): locus-correlated confident
+    # miscalls — the same wrong base across covering reads, half
+    # strand-biased — plus chimeric junction reads and coverage dropouts.
+    # Per-read-independent errors are separable by voting alone; these are
+    # the regimes where the pileup's *structure* (strand case, phase
+    # disagreement) is the only signal, i.e. where real-data robustness is
+    # earned (the reference trains on real minimap2 pileups full of them).
+    SimProfile(
+        "sys30x", 0.02, 0.02, 0.02, 0.005, 190, seed=112,
+        extra=(
+            ("sys_rate", 0.002),
+            ("sys_strength", (0.3, 0.8)),
+            ("sys_strand_frac", 0.5),
+        ),
+    ),
+    SimProfile(
+        "sys-noisy22x", 0.04, 0.025, 0.025, 0.005, 140, seed=113,
+        extra=(
+            ("sys_rate", 0.003),
+            ("sys_strength", (0.4, 0.9)),
+            ("sys_strand_frac", 0.7),
+        ),
+    ),
+    SimProfile(
+        "sys-rough18x", 0.02, 0.02, 0.02, 0.005, 115, seed=114,
+        extra=(
+            ("sys_rate", 0.002),
+            ("sys_strand_frac", 0.5),
+            ("chimera_rate", 0.06),
+            ("n_dropouts", 3),
+            ("dropout_keep", 0.25),
+        ),
+    ),
 )
 
 
@@ -127,6 +163,7 @@ def profile_windows(
         del_rate=p.del_rate,
         het_rate=p.het_rate,
         seed=p.seed,
+        **dict(p.extra),
     )
     with tempfile.TemporaryDirectory() as tmp:
         windows = simulated_windows(ds, f"{tmp}/reads.fastq", window_size)
