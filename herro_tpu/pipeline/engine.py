@@ -265,8 +265,15 @@ def run_correction(
     pending: collections.deque = collections.deque()
     # Dispatch (which includes the host->device batch upload) runs on a
     # dedicated thread so transfers overlap with featgen — on slow links the
-    # synchronous upload was a third of end-to-end wall time.
+    # synchronous upload was a third of end-to-end wall time. The result
+    # fetch + numpy unpack (runner.finalize: pure, no shared state) runs on a
+    # second dedicated thread for the same reason: blocking the featgen
+    # thread on the device round-trip serialised the two stages (round-3
+    # bench: featgen 10.7s + device 8.6s of a 22.9s run). Single-worker
+    # pools keep dispatch and fetch order identical to submission order;
+    # only add_result (consensus/batching state) stays consumer-thread-only.
     uploader = ThreadPoolExecutor(max_workers=1)
+    fetcher = ThreadPoolExecutor(max_workers=1)
 
     skip: set[int] = set()
     if resume:
@@ -344,13 +351,23 @@ def run_correction(
                 submit(batch)
 
     def submit(batch) -> None:
-        pending.append(uploader.submit(runner.dispatch, batch))
+        dispatched = uploader.submit(runner.dispatch, batch)
+        pending.append(
+            fetcher.submit(lambda d=dispatched: runner.finalize(d.result()))
+        )
+        # Collect whatever already finished without blocking featgen; block
+        # only when the in-flight window is full (device is the bottleneck).
+        while pending and pending[0].done():
+            drain_one()
         if len(pending) >= depth:
             drain_one()
 
     def drain_one() -> None:
+        # device_s counts what the device stage costs the *pipeline*: the
+        # time the consumer thread spends stalled on an unfinished batch
+        # (fetch + unpack themselves run on the fetcher thread).
         t0 = _time.perf_counter()
-        results = runner.finalize(pending.popleft().result())
+        results = pending.popleft().result()
         timers.device_s += _time.perf_counter() - t0
         timers.n_batches += 1
         for res in results:
@@ -393,6 +410,7 @@ def run_correction(
         # batches are abandoned (their reads re-run on resume).
         pending.clear()
         uploader.shutdown(wait=False, cancel_futures=True)
+        fetcher.shutdown(wait=False, cancel_futures=True)
         out.close()
         if cnt_out is not None:
             cnt_out.close()
