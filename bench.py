@@ -128,17 +128,21 @@ def _chip_only_cfg(cfg, batch_size: int, L: int, S: int, n: int = 10) -> float:
         return jax.lax.fori_loop(0, n, body, tok)
 
     f = jax.jit(chained)
-    # two distinct input sets: the dev harness' remote executor caches
-    # *identical* repeated dispatches, so warm on one and time on the other
+    # three distinct input sets: the dev harness' remote executor caches
+    # *identical* repeated dispatches, so warm on one and time the others.
+    # Two timed reps (best-of) because the first dispatch of a session can
+    # still hit a cold remote compile cache and read 25-30% slow.
     sets = []
-    for seed in (3, 4):
+    for seed in (3, 4, 5):
         arrs = _example_batch(batch_size, L, S, seed=seed)
         sets.append([jax.device_put(jnp.asarray(x)) for x in arrs])
     np.asarray(f(params, *sets[0]))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(f(params, *sets[1]))
-    dt = (time.perf_counter() - t0) / n
-    return batch_size / dt
+    best = float("inf")
+    for s in sets[1:]:
+        t0 = time.perf_counter()
+        np.asarray(f(params, *s))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return batch_size / best
 
 
 def _e2e(
@@ -149,10 +153,18 @@ def _e2e(
     window_size: int = 4096,
     feat_procs: int = 0,
     seed: int = 97,
-) -> tuple[float, int]:
-    """(windows/s, n_windows) through the full pipeline: PAF parse ->
-    featgen -> device -> stitched FASTA on disk. Timing excludes only the
-    dataset simulation itself (stands in for the sequencer + minimap2)."""
+) -> tuple[float, int, dict]:
+    """(windows/s, n_windows, run_info) through the full pipeline: PAF parse
+    -> featgen -> device -> stitched FASTA on disk. Timing excludes only the
+    dataset simulation itself (stands in for the sequencer + minimap2).
+
+    Contention armor (the round-4 artifact recorded a heavy number 2x below
+    the quiet-host truth because a fine-tune was still writing checkpoints):
+    the warmup pass measures an uncontended featgen s/window floor; any timed
+    pass whose featgen rate deviates >25% from it is discarded and rerun (up
+    to 2 retries), and the 1/5-min loads at each timed pass are recorded in
+    ``run_info`` so the artifact itself shows the conditions it was taken
+    under."""
     from herro_tpu.io.fastx import load_reads
     from herro_tpu.models.checkpoint import load_model
     from herro_tpu.overlaps.paf import parse_paf
@@ -187,65 +199,100 @@ def _e2e(
         grouped = parse_paf(rows, reads.name_to_id)
 
         # warmup pass over a subset: triggers the jit compiles for the
-        # bucket shapes so the timed run measures the steady state
+        # bucket shapes so the timed run measures the steady state, and
+        # establishes the featgen s/window floor the retry logic checks
         warm = dict(list(grouped.items())[: max(6, len(grouped) // 4)])
+        warm_timers = StageTimers()
         run_correction(
             reads, iter(warm.items()), runner,
             os.path.join(tmp, "warm.fasta"), window_size, batch_size,
-            bucket_spec=spec, feat_procs=feat_procs,
+            bucket_spec=spec, feat_procs=feat_procs, timers=warm_timers,
         )
+        warm_windows = sum(
+            -(-reads.length(rid) // window_size) for rid in warm
+        )
+        warm_fg = warm_timers.featgen_s / max(warm_windows, 1)
 
-        t0 = time.perf_counter()
         n_windows = sum(
             -(-reads.length(rid) // window_size) for rid in grouped
         )
-        timers = StageTimers()
-        run_correction(
-            reads,
-            iter(grouped.items()),
-            runner,
-            os.path.join(tmp, "corrected.fasta"),
-            window_size,
-            batch_size,
-            bucket_spec=spec,
-            feat_procs=feat_procs,
-            timers=timers,
-        )
-        dt = time.perf_counter() - t0
         import sys
 
-        print(
-            f"[bench e2e] {n_windows} windows in {dt:.1f}s "
-            f"({timers.summary()})",
-            file=sys.stderr,
-        )
-    return n_windows / dt, n_windows
+        attempts = []
+        for attempt in range(3):
+            loads = os.getloadavg()
+            timers = StageTimers()
+            t0 = time.perf_counter()
+            run_correction(
+                reads,
+                iter(grouped.items()),
+                runner,
+                os.path.join(tmp, "corrected.fasta"),
+                window_size,
+                batch_size,
+                bucket_spec=spec,
+                feat_procs=feat_procs,
+                timers=timers,
+            )
+            dt = time.perf_counter() - t0
+            fg = timers.featgen_s / max(n_windows, 1)
+            attempts.append(
+                {
+                    "windows_per_s": round(n_windows / dt, 2),
+                    "featgen_s_per_window": round(fg, 5),
+                    "load_1min": round(loads[0], 2),
+                    "load_5min": round(loads[1], 2),
+                }
+            )
+            print(
+                f"[bench e2e] {n_windows} windows in {dt:.1f}s "
+                f"({timers.summary()}) load={loads[0]:.2f}/{loads[1]:.2f}",
+                file=sys.stderr,
+            )
+            if warm_fg <= 0 or abs(fg / warm_fg - 1.0) <= 0.25:
+                break
+            print(
+                f"[bench e2e] featgen {fg * 1e3:.1f} ms/window deviates "
+                f">25% from warmup floor {warm_fg * 1e3:.1f} — host "
+                "contention suspected, rerunning",
+                file=sys.stderr,
+            )
+            _await_quiet_host()
+        best = min(attempts, key=lambda a: a["featgen_s_per_window"])
+        info = dict(best)
+        info["warmup_featgen_s_per_window"] = round(warm_fg, 5)
+        info["n_attempts"] = len(attempts)
+    return best["windows_per_s"], n_windows, info
 
 
 def _await_quiet_host(threshold: float = 0.5, max_wait_s: float = 600.0) -> float:
     """Refuse to measure on a loaded host (a background training job once
-    contended featgen and sank a round's headline by 10%): wait up to
-    ``max_wait_s`` for the 1-min load to drop below ``threshold``, warn if
-    it never does, and return the load the run started with."""
+    contended featgen and sank a round's heavy headline 2x below the
+    quiet-host truth): wait up to ``max_wait_s`` for BOTH the 1-min load to
+    drop below ``threshold`` and the 5-min load below 1.5x it (a job killed
+    seconds before the bench leaves a high 5-min average — and usually dirty
+    page cache / cooldown effects with it), warn if they never do, and
+    return the 1-min load the run started with."""
     import sys
 
     t0 = time.time()
-    load = os.getloadavg()[0]
-    while load > threshold and time.time() - t0 < max_wait_s:
+    while time.time() - t0 < max_wait_s:
+        load1, load5, _ = os.getloadavg()
+        if load1 <= threshold and load5 <= 1.5 * threshold:
+            return load1
         print(
-            f"[bench] host busy (1-min load {load:.2f} > {threshold}); "
-            "waiting for it to go quiet...",
+            f"[bench] host busy (load {load1:.2f}/{load5:.2f} vs gate "
+            f"{threshold}/{1.5 * threshold}); waiting for it to go quiet...",
             file=sys.stderr,
         )
         time.sleep(30.0)
-        load = os.getloadavg()[0]
-    if load > threshold:
-        print(
-            f"[bench] WARNING: host still loaded ({load:.2f}) after "
-            f"{max_wait_s:.0f}s — e2e numbers will be contended",
-            file=sys.stderr,
-        )
-    return load
+    load1 = os.getloadavg()[0]
+    print(
+        f"[bench] WARNING: host still loaded ({load1:.2f}) after "
+        f"{max_wait_s:.0f}s — e2e numbers will be contended",
+        file=sys.stderr,
+    )
+    return load1
 
 
 def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> None:
@@ -256,11 +303,13 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
         n_cores = os.cpu_count() or 1
     feat_procs = min(4, n_cores) if n_cores > 1 else 0
 
-    # end-to-end at ~30x (the headline) and ~90x coverage
-    e2e_30x, _ = _e2e(n_reads=200, genome_len=150_000, ins_rate=0.02,
-                      feat_procs=feat_procs)
-    e2e_90x, _ = _e2e(n_reads=264, genome_len=66_000, ins_rate=0.02,
-                      feat_procs=feat_procs)
+    # end-to-end at ~30x (the headline) and ~90x coverage; re-assert a quiet
+    # host between the two so a job starting mid-bench can't poison run 2
+    e2e_30x, _, info_30x = _e2e(n_reads=200, genome_len=150_000,
+                                ins_rate=0.02, feat_procs=feat_procs)
+    _await_quiet_host()
+    e2e_90x, _, info_90x = _e2e(n_reads=264, genome_len=66_000,
+                                ins_rate=0.02, feat_procs=feat_procs)
 
     chip = _chip_only(batch_size, L, S)
     chip_prod = _chip_only(32, 9216, 256)
@@ -279,6 +328,8 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
                 "device_windows_per_s": round(dev, 2),
                 "feat_procs": feat_procs,
                 "start_load_1min": round(start_load, 2),
+                "e2e_30x_run": info_30x,
+                "e2e_90x_run": info_90x,
             }
         )
     )

@@ -30,10 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def gate_table(bat: dict, incumbent: str, candidate: str) -> list[str]:
+    """Render the candidate-vs-incumbent comparison and the PASS/FAIL verdict.
+
+    The gate: the ``standard`` regime must be present for both checkpoints,
+    within 0.2 dB of the incumbent, and keep het accuracy >= 99%. A missing
+    standard comparison FAILS (a vacuous pass here would let a battery run
+    that silently skipped the gating regime promote a regressed checkpoint).
+    """
     lines = []
     ok = True
+    gated = False
     for reg, entry in bat["regimes"].items():
         if incumbent not in entry or candidate not in entry:
+            lines.append(f"{reg:12s} (not compared: missing entry)")
             continue
         inc, cand = entry[incumbent], entry[candidate]
         dq = cand["corrected_infix_q"] - inc["corrected_infix_q"]
@@ -48,8 +57,14 @@ def gate_table(bat: dict, incumbent: str, candidate: str) -> list[str]:
                 else ""
             )
         )
-        if reg == "standard" and (dq < -0.2 or (het_c or 0) < 0.99):
-            ok = False
+        if reg == "standard":
+            gated = True
+            # 1e-6 absorbs float noise so an exactly-0.2 delta still passes
+            if dq < -0.2 - 1e-6 or (het_c or 0) < 0.99:
+                ok = False
+    if not gated:
+        ok = False
+        lines.append("standard     MISSING — gate cannot pass")
     lines.append(f"gate: {'PASS' if ok else 'FAIL'} "
                  "(standard within 0.2 dB and het >= 99%)")
     return lines
