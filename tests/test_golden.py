@@ -11,9 +11,12 @@ import os
 import numpy as np
 import pytest
 
-from tests.make_golden import build_windows
+from tests.make_golden import build_windows, build_windows_sys
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "featgen_v3.npz")
+GOLDEN_SYS = os.path.join(
+    os.path.dirname(__file__), "golden", "featgen_sys_v1.npz"
+)
 
 
 @pytest.fixture(scope="module")
@@ -26,6 +29,14 @@ def current():
     return build_windows()
 
 
+def _assert_bytes_identical(gold, cur, what):
+    assert sorted(gold.files) == sorted(cur.keys()), what
+    for name in gold.files:
+        a, b = gold[name], cur[name]
+        assert a.dtype == b.dtype and a.shape == b.shape, f"{what}: {name}"
+        assert a.tobytes() == b.tobytes(), f"{what} drift in {name}"
+
+
 def test_same_window_set(golden, current):
     assert sorted(golden.files) == sorted(current.keys())
 
@@ -35,3 +46,11 @@ def test_bytes_identical(golden, current):
         a, b = golden[name], current[name]
         assert a.dtype == b.dtype and a.shape == b.shape, name
         assert a.tobytes() == b.tobytes(), f"featurization drift in {name}"
+
+
+def test_systematic_profile_bytes_identical():
+    """Hotspot/strand-bias/chimera/dropout featurization is frozen byte-exact
+    (the round-4 simulator regimes the sys* curriculum shards train on)."""
+    _assert_bytes_identical(
+        np.load(GOLDEN_SYS), build_windows_sys(), "systematic featurization"
+    )
