@@ -105,6 +105,11 @@ class CorrectionRunner:
         # contribution vs the counting floor).
         self.counting_only = counting_only
         step = make_correct_step(cfg)
+        # True when a mesh step runs the fused (pallas-capable) kernels via
+        # shard_map — both the DP and the TP layout do since round 5; the
+        # dryrun asserts this so a regression to the GSPMD jnp slow path
+        # can't land silently.
+        self.tp_fast_path = False
         if mesh is not None:
             from ..parallel.tensor import param_shardings
 
@@ -126,18 +131,26 @@ class CorrectionRunner:
                     out_specs=(P("data"),) * 3,
                     check_rep=False,
                 )
-            # With tensor parallelism GSPMD partitions the (jnp twin) ops;
-            # the pallas fast path under TP would need a 2-D shard_map and
-            # is not wired (TP is an option beyond the reference's needs).
-            if tp > 1:
+            elif cfg.int8:
+                # int8 + TP stays on GSPMD twin partitioning: the fast path
+                # does not carry the quantized matmuls, and int8 is slower
+                # than bf16 on this hardware anyway (ARCHITECTURE.md §7).
                 import sys
 
                 print(
-                    f"[herro-tpu] tp={tp}: running jnp twin kernels under "
-                    "GSPMD (the fused pallas fast path is data-parallel "
-                    "only); expect lower per-chip throughput",
+                    f"[herro-tpu] tp={tp} with int8: GSPMD jnp twin kernels "
+                    "(the fused TP fast path is bf16-only)",
                     file=sys.stderr,
                 )
+            else:
+                # Tensor parallelism: shard_map over BOTH mesh axes with
+                # Megatron head/d_ff partitioning, so the fused pallas
+                # kernels run on local shards and one psum per half-block
+                # recombines the stream (parallel/tensor.py).
+                from ..parallel.tensor import make_tp_correct_step
+
+                step = make_tp_correct_step(cfg, mesh, params)
+                self.tp_fast_path = True
             self._step = jax.jit(
                 step,
                 in_shardings=(pshard, data, data, data, data, data),
