@@ -77,6 +77,13 @@ class SimDataset:
     haplotypes: list[bytes] | None = None  # [hap0, hap1]; None = haploid
     # genome intervals where read sampling was suppressed (coverage dropouts)
     dropouts: list[tuple[int, int]] = field(default_factory=list)
+    # systematic-miscall hotspot maps over the genome (diagnostics only;
+    # zero-length when the dataset was simulated without sys_rate):
+    # wrong base byte (0 = not a hotspot), per-hotspot miscall probability,
+    # strand gate (0 both, 1 forward-stored only, 2 reverse-stored only)
+    sys_wrong: np.ndarray | None = None
+    sys_p: np.ndarray | None = None
+    sys_gate: np.ndarray | None = None
 
     def hap_seq(self, hap: int) -> np.ndarray:
         if self.haplotypes is None:
@@ -387,7 +394,10 @@ def simulate(
             read.name = b"read_%d" % i
         reads.append(read)
 
-    return SimDataset(genome.tobytes(), reads, haplotypes, dropouts=dropouts)
+    return SimDataset(
+        genome.tobytes(), reads, haplotypes, dropouts=dropouts,
+        sys_wrong=sys_wrong, sys_p=sys_p, sys_gate=sys_gate,
+    )
 
 
 def _fwd_offset(read: SimRead, g0: int) -> int:
