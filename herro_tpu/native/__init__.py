@@ -91,6 +91,8 @@ def _load():
     lib.ht_read_build.restype = ptr
     lib.ht_read_emit.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, i64]
     lib.ht_read_free.argtypes = [ptr]
+    lib.ht_prof_dump.argtypes = [ptr]
+    lib.ht_prof_reset.argtypes = []
     return lib
 
 
@@ -411,6 +413,24 @@ def read_featurize(
         s["pos"] = p
         s["ins"] = i
     return bases, quals, supported, row_aln, out_nrows
+
+
+PROF_PHASES = (
+    "extract+filter", "accuracy+sort", "maxins+anchors", "fill+transpose",
+    "supported+phase", "rerank+compact", "final_supported", "total_build",
+)
+
+
+def prof_dump(reset: bool = False) -> dict[str, float]:
+    """Seconds per ht_read_build phase accumulated since load/reset.
+
+    Only populated when the library runs with HT_PROF=1 in the environment
+    (the flag is read once at first build call); all-zero otherwise."""
+    out = np.zeros(len(PROF_PHASES), dtype=np.int64)
+    _lib.ht_prof_dump(out.ctypes.data)
+    if reset:
+        _lib.ht_prof_reset()
+    return {k: v * 1e-9 for k, v in zip(PROF_PHASES, out.tolist())}
 
 
 def supported_mask(bases: np.ndarray, thresh: int) -> np.ndarray:

@@ -9,6 +9,8 @@
 // Build: make -C herro_tpu/native   (g++ -O3 -march=native -shared -fPIC)
 
 #include <array>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
 #if defined(__AVX2__) || defined(__SSE2__)
 #include <immintrin.h>
@@ -469,13 +471,14 @@ static void fill_query_row_flat(uint8_t* rb, uint8_t* rq, int64_t length,
 // column, one u64 of the 8 rows' bytes, stored directly at the strided
 // destination — ~8x the scalar blocked transpose (the measured featgen
 // bottleneck at heavy coverage, ARCHITECTURE.md round-2 ablation).
-static void scatter_rows_to_cols(const uint8_t* s, int64_t n, int64_t length,
-                                 uint8_t* dst, int64_t n_cols) {
+static void scatter_rowptrs_to_cols(const uint8_t* const* rp, int64_t n,
+                                    int64_t length, uint8_t* dst,
+                                    int64_t n_cols) {
   int64_t i0 = 0;
 #ifdef __SSE2__
   for (; i0 + 8 <= n; i0 += 8) {
     const uint8_t* r[8];
-    for (int k = 0; k < 8; ++k) r[k] = s + (i0 + k) * length;
+    for (int k = 0; k < 8; ++k) r[k] = rp[i0 + k];
     int64_t l = 0;
     for (; l + 16 <= length; l += 16) {
       __m128i r0 = _mm_loadu_si128((const __m128i*)(r[0] + l));
@@ -517,9 +520,69 @@ static void scatter_rows_to_cols(const uint8_t* s, int64_t n, int64_t length,
       int64_t l1 = std::min(l0 + BS, length);
       for (int64_t l = l0; l < l1; ++l) {
         uint8_t* d = dst + l * n_cols + 1;
-        for (int64_t i = i0; i < n; ++i) d[i] = s[i * length + l];
+        for (int64_t i = i0; i < n; ++i) d[i] = rp[i][l];
       }
     }
+  }
+}
+
+static void scatter_rows_to_cols(const uint8_t* s, int64_t n, int64_t length,
+                                 uint8_t* dst, int64_t n_cols) {
+  std::vector<const uint8_t*> rp((size_t)n);
+  for (int64_t i = 0; i < n; ++i) rp[i] = s + i * length;
+  scatter_rowptrs_to_cols(rp.data(), n, length, dst, n_cols);
+}
+
+// Per-column class counts {A,C,G,T,*} (case pairs a,c,g,t,#; '.' counts
+// nothing) accumulated from row-major planes — the row-plane twin of
+// ht_supported_mask's per-column scan, used by ht_read_build to decide
+// supported columns WITHOUT materialising the full (length, n_rows) pileup
+// matrix first (at 90x coverage only the top-30 rows survive re-ranking, so
+// the full-width fill+transpose was ~half of featgen, HT_PROF round 5).
+// cnt is class-major [5][length], caller-zeroed, u16 (batches of 255 rows
+// accumulate in saturating-free u8 then widen).
+static void class_counts_rows(const uint8_t* const* rp, int64_t n,
+                              int64_t length, uint16_t* cnt) {
+  std::vector<uint8_t> acc((size_t)(5 * length));
+  const uint8_t fwd_c[5] = {'A', 'C', 'G', 'T', '*'};
+  const uint8_t rev_c[5] = {'a', 'c', 'g', 't', '#'};
+  int64_t i = 0;
+  while (i < n) {
+    const int64_t batch = std::min<int64_t>(n - i, 255);
+    memset(acc.data(), 0, acc.size());
+    for (int64_t r = 0; r < batch; ++r) {
+      const uint8_t* row = rp[i + r];
+      int64_t l = 0;
+#ifdef __SSE2__
+      __m128i fwd[5], rev[5];
+      for (int k = 0; k < 5; ++k) {
+        fwd[k] = _mm_set1_epi8((char)fwd_c[k]);
+        rev[k] = _mm_set1_epi8((char)rev_c[k]);
+      }
+      for (; l + 16 <= length; l += 16) {
+        __m128i chunk = _mm_loadu_si128((const __m128i*)(row + l));
+        for (int k = 0; k < 5; ++k) {
+          __m128i eq = _mm_or_si128(_mm_cmpeq_epi8(chunk, fwd[k]),
+                                    _mm_cmpeq_epi8(chunk, rev[k]));
+          uint8_t* a = acc.data() + k * length + l;
+          // eq bytes are 0xFF on match: subtracting adds 1 per match
+          _mm_storeu_si128(
+              (__m128i*)a,
+              _mm_sub_epi8(_mm_loadu_si128((const __m128i*)a), eq));
+        }
+      }
+#endif
+      for (; l < length; ++l) {
+        const uint8_t b = row[l];
+        for (int k = 0; k < 5; ++k)
+          if (b == fwd_c[k] || b == rev_c[k]) {
+            ++acc[(size_t)(k * length + l)];
+            break;
+          }
+      }
+    }
+    for (int64_t j = 0; j < 5 * length; ++j) cnt[j] += acc[(size_t)j];
+    i += batch;
   }
 }
 
@@ -778,6 +841,42 @@ void ht_supported_mask(const uint8_t* bases, int64_t L, int64_t C,
 
 namespace {
 
+// Phase profiling for ht_read_build, enabled by HT_PROF=1 in the
+// environment (read once). Accumulates nanoseconds per phase across calls
+// and threads; drained from Python via ht_prof_dump (native/__init__.py).
+// Phases: 0 extract+indel-filter, 1 accuracy+sort, 2 max_ins+anchors,
+// 3 row fill+transpose, 4 supported+phase-accum, 5 re-rank+compaction,
+// 6 final supported, 7 whole build.
+constexpr int PROF_N = 8;
+std::atomic<int64_t> g_prof_ns[PROF_N];
+
+bool prof_enabled() {
+  static const bool on = [] {
+    const char* e = std::getenv("HT_PROF");
+    return e != nullptr && e[0] != '\0' && e[0] != '0';
+  }();
+  return on;
+}
+
+struct ProfScope {
+  int slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfScope(int s) : slot(-1) {
+    if (prof_enabled()) {
+      slot = s;
+      t0 = std::chrono::steady_clock::now();
+    }
+  }
+  ~ProfScope() {
+    if (slot >= 0)
+      g_prof_ns[slot].fetch_add(
+          std::chrono::duration_cast<std::chrono::nanoseconds>(
+              std::chrono::steady_clock::now() - t0)
+              .count(),
+          std::memory_order_relaxed);
+  }
+};
+
 struct RFRow {
   int32_t aln;
   int64_t t_ws, q_ws, op_s, off_s, op_e, off_e;
@@ -793,9 +892,15 @@ struct RFWin {
 };
 
 struct RFStaged {
-  std::vector<uint8_t> bases, quals;  // first-pass (length, n_cols)
-  std::vector<int64_t> anchor;        // win_len + 1
-  std::vector<RFRow> rows;            // accuracy-sorted
+  // First pass stages ROW-MAJOR planes only (query row i at rowb/rowq
+  // [i*length, (i+1)*length)) plus the target-column plane; the final
+  // column-major pileup is built in the second pass from the top-k
+  // surviving rows, so the (length, n_rows)-wide fill+transpose that
+  // dominated 90x featgen (HT_PROF round 5: 51% of build) never happens.
+  std::vector<uint8_t> rowb, rowq;  // [n, length] query row planes
+  std::vector<uint8_t> tgtb;        // [length] target column bases
+  std::vector<int64_t> anchor;      // win_len + 1
+  std::vector<RFRow> rows;          // accuracy-sorted
   int64_t length = 0, n_cols = 0, win_len = 0;
 };
 
@@ -818,38 +923,44 @@ void* ht_read_build(
     int64_t* out_nsup, int64_t* out_nrows) {
   const int64_t n_windows = (read_len + W - 1) / W;
   const auto& upper = upper_table();
+  ProfScope prof_total(7);
 
   std::vector<RFStaged> staged(n_windows);
   std::vector<int64_t> tmp;
 
   // 1. Window grouping + long-indel filter (src/features.rs:362-383).
-  for (int64_t a = 0; a < n_alns; ++a) {
-    int64_t max_rows = (tend[a] - tstart[a]) / W + 3;
-    tmp.resize((size_t)(max_rows * 8));
-    int64_t nr = ht_extract_windows(
-        (const uint8_t*)codes_p[a], (const int32_t*)lens_p[a], n_ops[a],
-        tstart[a], tend[a], tlen[a], qstart[a], qend[a], W, tmp.data(),
-        max_rows);
-    if (nr < 0) return nullptr;
-    const uint8_t* cods = (const uint8_t*)codes_p[a];
-    const int32_t* lns = (const int32_t*)lens_p[a];
-    for (int64_t r = 0; r < nr; ++r) {
-      const int64_t* row = tmp.data() + 8 * r;
-      int64_t w = row[0];
-      if (w < 0 || w >= n_windows) return nullptr;
-      bool bad = false;  // raw op lengths, as in window_has_long_indel
-      for (int64_t j = row[4]; j < row[6]; ++j)
-        if (cods[j] != OP_M && lns[j] > max_indel) { bad = true; break; }
-      if (bad) continue;
-      staged[w].rows.push_back(
-          {(int32_t)a, row[1], row[2], row[4], row[5], row[6], row[7], 0.0});
+  {
+    ProfScope p0(0);
+    for (int64_t a = 0; a < n_alns; ++a) {
+      int64_t max_rows = (tend[a] - tstart[a]) / W + 3;
+      tmp.resize((size_t)(max_rows * 8));
+      int64_t nr = ht_extract_windows(
+          (const uint8_t*)codes_p[a], (const int32_t*)lens_p[a], n_ops[a],
+          tstart[a], tend[a], tlen[a], qstart[a], qend[a], W, tmp.data(),
+          max_rows);
+      if (nr < 0) return nullptr;
+      const uint8_t* cods = (const uint8_t*)codes_p[a];
+      const int32_t* lns = (const int32_t*)lens_p[a];
+      for (int64_t r = 0; r < nr; ++r) {
+        const int64_t* row = tmp.data() + 8 * r;
+        int64_t w = row[0];
+        if (w < 0 || w >= n_windows) return nullptr;
+        bool bad = false;  // raw op lengths, as in window_has_long_indel
+        for (int64_t j = row[4]; j < row[6]; ++j)
+          if (cods[j] != OP_M && lns[j] > max_indel) { bad = true; break; }
+        if (bad) continue;
+        staged[w].rows.push_back(
+            {(int32_t)a, row[1], row[2], row[4], row[5], row[6], row[7], 0.0});
+      }
     }
   }
 
   std::vector<int64_t> num((size_t)n_qid, 0), den((size_t)n_qid, 0);
-  std::vector<uint8_t> scratch;
   std::vector<int32_t> max_ins;
   std::vector<uint8_t> mask;
+  std::vector<const uint8_t*> rowptrs;
+  std::vector<uint16_t> counts;
+  std::vector<int64_t> sup_anchor;
 
   // 2. First pass per window: sort, fill, supported, phase accumulation.
   for (int64_t w = 0; w < n_windows; ++w) {
@@ -860,70 +971,87 @@ void* ht_read_build(
     const int64_t n = (int64_t)rows.size();
 
     // Window-local accuracy, stable-sorted descending (features.rs:386-409).
-    for (auto& r : rows)
-      r.acc = ht_window_accuracy(
-          (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
-          r.op_s, r.off_s, r.op_e, r.off_e, tseq + r.t_ws,
-          (const uint8_t*)qseq_p[r.aln] + r.q_ws);
-    std::stable_sort(rows.begin(), rows.end(),
-                     [](const RFRow& x, const RFRow& y) { return x.acc > y.acc; });
-
-    max_ins.assign((size_t)st.win_len, 0);
-    for (auto& r : rows)
-      ht_max_ins((const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
-                 r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
-                 max_ins.data());
-    st.anchor.resize((size_t)st.win_len + 1);
-    st.anchor[0] = 0;
-    for (int64_t t = 0; t < st.win_len; ++t)
-      st.anchor[t + 1] = st.anchor[t] + 1 + max_ins[t];
-    st.length = st.anchor[st.win_len];
-    st.n_cols = 1 + std::max<int64_t>(n, top_k);
-
-    st.bases.assign((size_t)(st.length * st.n_cols), '.');
-    st.quals.assign((size_t)(st.length * st.n_cols), (uint8_t)no_aln_qual);
-    for (int64_t l = 0; l < st.length; ++l) st.bases[l * st.n_cols] = '*';
-    for (int64_t t = 0; t < st.win_len; ++t) {
-      st.bases[st.anchor[t] * st.n_cols] = tseq[win_start + t];
-      st.quals[st.anchor[t] * st.n_cols] = tqual[win_start + t];
+    {
+      ProfScope p1(1);
+      for (auto& r : rows)
+        r.acc = ht_window_accuracy(
+            (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+            r.op_s, r.off_s, r.op_e, r.off_e, tseq + r.t_ws,
+            (const uint8_t*)qseq_p[r.aln] + r.q_ws);
+      std::stable_sort(rows.begin(), rows.end(),
+                       [](const RFRow& x, const RFRow& y) { return x.acc > y.acc; });
     }
 
-    if (n) {
-      scratch.resize((size_t)(2 * n * st.length));
-      uint8_t* sb = scratch.data();
-      uint8_t* sq = sb + n * st.length;
-      memset(sq, (int)no_aln_qual, (size_t)(n * st.length));
-      for (int64_t i = 0; i < n; ++i) {
-        const RFRow& r = rows[i];
-        fill_query_row_flat(
-            sb + i * st.length, sq + i * st.length, st.length,
-            (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
-            r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
-            (int)strand_rev[r.aln], (const uint8_t*)qseq_p[r.aln] + r.q_ws,
-            (const uint8_t*)qqual_p[r.aln] + r.q_ws, st.anchor.data(),
-            max_ins.data());
+    {
+      ProfScope p2(2);
+      max_ins.assign((size_t)st.win_len, 0);
+      for (auto& r : rows)
+        ht_max_ins((const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+                   r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
+                   max_ins.data());
+      st.anchor.resize((size_t)st.win_len + 1);
+      st.anchor[0] = 0;
+      for (int64_t t = 0; t < st.win_len; ++t)
+        st.anchor[t + 1] = st.anchor[t] + 1 + max_ins[t];
+      st.length = st.anchor[st.win_len];
+      st.n_cols = 1 + std::max<int64_t>(n, top_k);
+    }
+
+    {
+      ProfScope p3(3);
+      st.tgtb.assign((size_t)st.length, '*');
+      for (int64_t t = 0; t < st.win_len; ++t)
+        st.tgtb[(size_t)st.anchor[t]] = tseq[win_start + t];
+
+      if (n) {
+        st.rowb.resize((size_t)(n * st.length));
+        st.rowq.assign((size_t)(n * st.length), (uint8_t)no_aln_qual);
+        for (int64_t i = 0; i < n; ++i) {
+          const RFRow& r = rows[i];
+          fill_query_row_flat(
+              st.rowb.data() + i * st.length, st.rowq.data() + i * st.length,
+              st.length,
+              (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+              r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
+              (int)strand_rev[r.aln], (const uint8_t*)qseq_p[r.aln] + r.q_ws,
+              (const uint8_t*)qqual_p[r.aln] + r.q_ws, st.anchor.data(),
+              max_ins.data());
+        }
       }
-      scatter_rows_to_cols(sb, n, st.length, st.bases.data(), st.n_cols);
-      scatter_rows_to_cols(sq, n, st.length, st.quals.data(), st.n_cols);
     }
 
     // Haplotype phase scores accumulate over supported *anchor* columns
     // only: insertion columns carry '*' in the target row and are excluded
-    // by the tgt != GAP filter (features.rs:461-509; extract.py).
+    // by the tgt != GAP filter (features.rs:461-509; extract.py). Supported
+    // columns come from row-plane class counts — byte-identical to the old
+    // full-matrix ht_supported_mask pass (the target plane is counted as a
+    // row; '.' padding columns of the old matrix counted nothing).
     if (n) {
+      ProfScope p4(4);
+      rowptrs.resize((size_t)n + 1);
+      rowptrs[0] = st.tgtb.data();
+      for (int64_t i = 0; i < n; ++i)
+        rowptrs[(size_t)i + 1] = st.rowb.data() + i * st.length;
+      counts.assign((size_t)(5 * st.length), 0);
+      class_counts_rows(rowptrs.data(), n + 1, st.length, counts.data());
       const int64_t thresh = (int64_t)((double)st.n_cols * 0.1);
-      mask.resize((size_t)st.length);
-      ht_supported_mask(st.bases.data(), st.length, st.n_cols, thresh,
-                        mask.data());
+      sup_anchor.clear();
       for (int64_t t = 0; t < st.win_len; ++t) {
         const int64_t l = st.anchor[t];
-        if (!mask[l]) continue;
-        const uint8_t* rowp = st.bases.data() + l * st.n_cols;
-        const uint8_t tu = upper[rowp[0]];
-        for (int64_t c = 1; c <= n; ++c) {
-          const int64_t q = qid_local[rows[c - 1].aln];
-          if (upper[rowp[c]] == tu) ++num[q]; else ++den[q];
+        int reach = 0;
+        for (int k = 0; k < 5; ++k)
+          reach += counts[(size_t)(k * st.length + l)] >= thresh;
+        if (reach >= 2) sup_anchor.push_back(l);
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        const int64_t q = qid_local[rows[i].aln];
+        const uint8_t* plane = st.rowb.data() + i * st.length;
+        int64_t nn = 0, dd = 0;
+        for (const int64_t l : sup_anchor) {
+          if (upper[plane[l]] == st.tgtb[(size_t)l]) ++nn; else ++dd;
         }
+        num[q] += nn;
+        den[q] += dd;
       }
     }
   }
@@ -940,61 +1068,90 @@ void* ht_read_build(
   if (h == nullptr) return nullptr;
   h->wins.resize((size_t)n_windows);
   const int64_t C = top_k + 1;
-  std::vector<int32_t> sr, colmap((size_t)C);
+  std::vector<int32_t> sr;
   for (int64_t w = 0; w < n_windows; ++w) {
     RFStaged& st = staged[w];
     RFWin& wn = h->wins[w];
     const int64_t n = (int64_t)st.rows.size();
 
-    sr.resize((size_t)n + 1);
-    for (int64_t i = 0; i <= n; ++i) sr[i] = (int32_t)i;
-    // target row (score +inf) stays first; stable sort keeps accuracy order
-    // among equal scores, matching the Python sorted(key=-score).
-    std::stable_sort(sr.begin() + 1, sr.end(), [&](int32_t x, int32_t y) {
-      return score[qid_local[st.rows[x - 1].aln]] >
-             score[qid_local[st.rows[y - 1].aln]];
-    });
-    const int64_t m = std::min<int64_t>(n + 1, C);
-    for (int64_t j = 0; j < m; ++j) colmap[j] = sr[j];
-    for (int64_t j = m; j < C; ++j) colmap[j] = (int32_t)j;  // '.' padding
-
-    wn.row_aln.resize((size_t)n);
-    for (int64_t i = 0; i < n; ++i)
-      wn.row_aln[i] = st.rows[sr[i + 1] - 1].aln;
-
-    wn.bases.resize((size_t)(st.length * C));
-    wn.quals.resize((size_t)(st.length * C));
     int64_t L2 = 0;
-    for (int64_t l = 0; l < st.length; ++l) {
-      const uint8_t* rb = st.bases.data() + l * st.n_cols;
-      const uint8_t* rq = st.quals.data() + l * st.n_cols;
-      uint8_t* ob = wn.bases.data() + L2 * C;
-      uint8_t* oq = wn.quals.data() + L2 * C;
-      bool keep = false;
-      for (int64_t j = 0; j < C; ++j) {
-        const uint8_t b = rb[colmap[j]];
-        ob[j] = b;
-        oq[j] = rq[colmap[j]];
-        keep |= (b != '.' && b != '*' && b != '#');
-      }
-      L2 += keep;
-    }
-    wn.bases.resize((size_t)(L2 * C));
-    wn.quals.resize((size_t)(L2 * C));
-    wn.len = L2;
-    st.bases.clear(); st.bases.shrink_to_fit();
-    st.quals.clear(); st.quals.shrink_to_fit();
+    {
+      ProfScope p5(5);
+      sr.resize((size_t)n + 1);
+      for (int64_t i = 0; i <= n; ++i) sr[i] = (int32_t)i;
+      // target row (score +inf) stays first; stable sort keeps accuracy
+      // order among equal scores, matching the Python sorted(key=-score).
+      std::stable_sort(sr.begin() + 1, sr.end(), [&](int32_t x, int32_t y) {
+        return score[qid_local[st.rows[x - 1].aln]] >
+               score[qid_local[st.rows[y - 1].aln]];
+      });
+      const int64_t m = std::min<int64_t>(n + 1, C);
 
-    const int64_t thresh2 = (int64_t)((double)C * 0.1);
-    mask.resize((size_t)L2);
-    ht_supported_mask(wn.bases.data(), L2, C, thresh2, mask.data());
-    int64_t apos = -1, last_anchor = -1;
-    for (int64_t l = 0; l < L2; ++l) {
-      const bool is_anchor = wn.bases[l * C] != '*';
-      if (is_anchor) { ++apos; last_anchor = l; }
-      if (mask[l]) {
-        wn.sup_pos.push_back((uint16_t)apos);
-        wn.sup_ins.push_back((uint8_t)(is_anchor ? 0 : l - last_anchor));
+      wn.row_aln.resize((size_t)n);
+      for (int64_t i = 0; i < n; ++i)
+        wn.row_aln[i] = st.rows[sr[i + 1] - 1].aln;
+
+      // Build the (length, C) pileup directly in re-ranked column order:
+      // col 0 is the target plane, cols 1..m-1 the selected row planes
+      // (transposed), cols m.. stay '.'-padding with no-aln quals — the
+      // same bytes the old full-width matrix + colmap indirection gave.
+      wn.bases.assign((size_t)(st.length * C), '.');
+      wn.quals.assign((size_t)(st.length * C), (uint8_t)no_aln_qual);
+      for (int64_t l = 0; l < st.length; ++l)
+        wn.bases[(size_t)(l * C)] = st.tgtb[(size_t)l];
+      for (int64_t t = 0; t < st.win_len; ++t)
+        wn.quals[(size_t)(st.anchor[t] * C)] = tqual[w * W + t];
+      if (m > 1) {
+        rowptrs.resize((size_t)(2 * (m - 1)));
+        for (int64_t j = 1; j < m; ++j) {
+          const int64_t i = sr[j] - 1;  // accuracy-sorted row index
+          rowptrs[(size_t)(j - 1)] = st.rowb.data() + i * st.length;
+          rowptrs[(size_t)(m - 1 + j - 1)] = st.rowq.data() + i * st.length;
+        }
+        scatter_rowptrs_to_cols(rowptrs.data(), m - 1, st.length,
+                                wn.bases.data(), C);
+        scatter_rowptrs_to_cols(rowptrs.data() + (m - 1), m - 1, st.length,
+                                wn.quals.data(), C);
+      }
+
+      // In-place all-gap column compaction (forward scan: dst <= src).
+      for (int64_t l = 0; l < st.length; ++l) {
+        const uint8_t* ob = wn.bases.data() + l * C;
+        bool keep = false;
+        for (int64_t j = 0; j < C; ++j) {
+          const uint8_t b = ob[j];
+          keep |= (b != '.' && b != '*' && b != '#');
+        }
+        if (keep) {
+          if (L2 != l) {
+            memmove(wn.bases.data() + L2 * C, ob, (size_t)C);
+            memmove(wn.quals.data() + L2 * C, wn.quals.data() + l * C,
+                    (size_t)C);
+          }
+          ++L2;
+        }
+      }
+      wn.bases.resize((size_t)(L2 * C));
+      wn.quals.resize((size_t)(L2 * C));
+      wn.len = L2;
+      st.rowb.clear(); st.rowb.shrink_to_fit();
+      st.rowq.clear(); st.rowq.shrink_to_fit();
+      st.tgtb.clear(); st.tgtb.shrink_to_fit();
+    }
+
+    {
+      ProfScope p6(6);
+      const int64_t thresh2 = (int64_t)((double)C * 0.1);
+      mask.resize((size_t)L2);
+      ht_supported_mask(wn.bases.data(), L2, C, thresh2, mask.data());
+      int64_t apos = -1, last_anchor = -1;
+      for (int64_t l = 0; l < L2; ++l) {
+        const bool is_anchor = wn.bases[l * C] != '*';
+        if (is_anchor) { ++apos; last_anchor = l; }
+        if (mask[l]) {
+          wn.sup_pos.push_back((uint16_t)apos);
+          wn.sup_ins.push_back((uint8_t)(is_anchor ? 0 : l - last_anchor));
+        }
       }
     }
 
@@ -1024,5 +1181,17 @@ void ht_read_emit(void* handle, const uint64_t* bases_p,
 }
 
 void ht_read_free(void* handle) { delete (RFHandle*)handle; }
+
+// Drain the HT_PROF phase accumulators (nanoseconds, PROF_N slots) into
+// `out`; no-ops to zeros when profiling was not enabled.
+void ht_prof_dump(int64_t* out) {
+  for (int i = 0; i < PROF_N; ++i)
+    out[i] = g_prof_ns[i].load(std::memory_order_relaxed);
+}
+
+void ht_prof_reset() {
+  for (int i = 0; i < PROF_N; ++i)
+    g_prof_ns[i].store(0, std::memory_order_relaxed);
+}
 
 }  // extern "C"
