@@ -94,23 +94,16 @@ class _QueryArena:
 _READ_LEVEL = True
 
 
-def _extract_read_features_native(
+def _native_call_args(
     rid: int,
     reads: ReadSet,
     alignments: list[Alignment],
     window_size: int,
-) -> "list[WindowFeatures] | None":
-    """Whole-read featurization in one native call (ht_read_build/emit).
-
-    Covers the same pipeline as the Python orchestration below — window
-    grouping, long-indel filter, accuracy sort, pileup fill, supported
-    columns, haplotype re-rank (src/features.rs:326-583) — with the
-    per-window Python glue (~30-50% of featgen wall time) hoisted into C++.
-    Byte-parity with the fallback path is enforced by
-    tests/test_extract_parity.py.
-    """
-    from .. import native
-
+):
+    """Shared prep for the read-level native kernels: per-alignment spans
+    (windowing guard pre-applied), oriented query decodes, local qid table.
+    Returns ``(args, qids, n_windows)`` — ``args`` is the positional prefix
+    both ht_read_build entry points take."""
     read_len = reads.length(rid)
     tseq = reads.seq(rid)
     tqual = reads.qual(rid)
@@ -150,7 +143,7 @@ def _extract_read_features_native(
         np.unique(qids, return_inverse=True) if n else (qids, qids)
     )
 
-    res = native.read_featurize(
+    args = (
         [alignments[idx].cigar.codes for idx in kept],
         [alignments[idx].cigar.lens for idx in kept],
         np.ascontiguousarray(sp[:, 0]), np.ascontiguousarray(sp[:, 1]),
@@ -160,6 +153,30 @@ def _extract_read_features_native(
         tseq, tqual, read_len, window_size, TOP_K, MAX_INDEL_LEN,
         int(NO_ALN_QUAL),
     )
+    return args, qids, n_windows
+
+
+def _extract_read_features_native(
+    rid: int,
+    reads: ReadSet,
+    alignments: list[Alignment],
+    window_size: int,
+) -> "list[WindowFeatures] | None":
+    """Whole-read featurization in one native call (ht_read_build/emit).
+
+    Covers the same pipeline as the Python orchestration below — window
+    grouping, long-indel filter, accuracy sort, pileup fill, supported
+    columns, haplotype re-rank (src/features.rs:326-583) — with the
+    per-window Python glue (~30-50% of featgen wall time) hoisted into C++.
+    Byte-parity with the fallback path is enforced by
+    tests/test_extract_parity.py.
+    """
+    from .. import native
+
+    args, qids, n_windows = _native_call_args(
+        rid, reads, alignments, window_size
+    )
+    res = native.read_featurize(*args)
     if res is None:
         return None
     bases, quals, supported, row_aln, nrows = res
@@ -174,6 +191,65 @@ def _extract_read_features_native(
             quals=quals[wid],
             supported=supported[wid],
             qids=[qids_l[a] for a in row_aln[wid]],
+        )
+        for wid in range(n_windows)
+    ]
+
+
+def extract_read_tensors(
+    rid: int,
+    reads: ReadSet,
+    alignments: list[Alignment],
+    window_size: int,
+) -> "list":
+    """Whole-read featurization straight to device-layout window tensors.
+
+    The inference engine's hot path: one native build + one tensor emit per
+    read (ht_read_emit_tensors) producing exactly the bytes
+    ``batching.collate`` ships — packed token nibble rows [16, L], row-major
+    quals [31, L] and flat supported indices — so the Python tensorize /
+    pack / transpose passes never run. Falls back to
+    :func:`extract_read_features` + :func:`~..pipeline.batching.tensorize`
+    (converted to the same layout, keeping batches homogeneous) when the
+    native library is unavailable or bails. Byte parity with the fallback is
+    enforced by tests/test_extract_parity.py.
+    """
+    from .. import native
+    from ..constants import BASES_MAP, TOKEN_PAD
+    from ..pipeline.batching import WindowTensors, pack_tokens, tensorize
+
+    res = None
+    if _READ_LEVEL and native.available():
+        args, _, n_windows = _native_call_args(
+            rid, reads, alignments, window_size
+        )
+        res = native.read_featurize_tensors(
+            *args, vocab_lut=BASES_MAP, token_pad=int(TOKEN_PAD)
+        )
+    if res is None:
+        out = []
+        for wf in extract_read_features(rid, reads, alignments, window_size):
+            wt = tensorize(wf)
+            wt.tokens_packed = np.ascontiguousarray(pack_tokens(wt.tokens).T)
+            wt.quals_rm = np.ascontiguousarray(wt.quals.T)
+            wt.tokens = None
+            wt.quals = None
+            wt.supported = None
+            out.append(wt)
+        return out
+    tokp, quals_rm, supflat, row_aln, nrows = res
+    return [
+        WindowTensors(
+            rid=rid,
+            wid=wid,
+            n_alns=min(int(nrows[wid]), TOP_K),
+            n_total_wins=n_windows,
+            tokens=None,
+            quals=None,
+            support_flat=supflat[wid],
+            supported=None,
+            tokens_packed=tokp[wid],
+            quals_rm=quals_rm[wid],
         )
         for wid in range(n_windows)
     ]

@@ -90,6 +90,7 @@ def _load():
     ]
     lib.ht_read_build.restype = ptr
     lib.ht_read_emit.argtypes = [ptr, ptr, ptr, ptr, ptr, ptr, i64]
+    lib.ht_read_emit_tensors.argtypes = [ptr, ptr, i64, ptr, ptr, ptr, ptr, i64]
     lib.ht_read_free.argtypes = [ptr]
     lib.ht_prof_dump.argtypes = [ptr]
     lib.ht_prof_reset.argtypes = []
@@ -325,34 +326,12 @@ def fill_rows(
     )
 
 
-def read_featurize(
-    codes_list,
-    lens_list,
-    tstart: np.ndarray,
-    tend: np.ndarray,
-    tlen: np.ndarray,
-    qstart: np.ndarray,
-    qend: np.ndarray,
-    strand_rev: np.ndarray,
-    qseqs,
-    qquals,
-    qid_local: np.ndarray,
-    n_qid: int,
-    tseq: np.ndarray,
-    tqual: np.ndarray,
-    read_len: int,
-    window_size: int,
-    top_k: int,
-    max_indel: int,
-    no_aln_qual: int,
+def _read_build(
+    codes_list, lens_list, tstart, tend, tlen, qstart, qend, strand_rev,
+    qseqs, qquals, qid_local, n_qid, tseq, tqual, read_len, window_size,
+    top_k, max_indel, no_aln_qual,
 ):
-    """Whole-read featurization in one native build + one emit call.
-
-    Returns ``(bases, quals, supported, row_aln, nrows)`` lists, one entry
-    per window, or ``None`` when the native build bails (caller falls back
-    to the per-window path). ``row_aln[w]`` maps each re-ranked pileup row
-    to its index in the caller's alignment arrays.
-    """
+    """Shared ht_read_build call: returns (handle, per-window dims)."""
     n_alns = len(codes_list)
     n_windows = -(-read_len // window_size)
     codes_p = np.fromiter(
@@ -381,6 +360,42 @@ def read_featurize(
         n_qid, tseq.ctypes.data, tqual.ctypes.data, read_len, window_size,
         top_k, max_indel, no_aln_qual,
         out_len.ctypes.data, out_nsup.ctypes.data, out_nrows.ctypes.data,
+    )
+    return handle, out_len, out_nsup, out_nrows, n_windows
+
+
+def read_featurize(
+    codes_list,
+    lens_list,
+    tstart: np.ndarray,
+    tend: np.ndarray,
+    tlen: np.ndarray,
+    qstart: np.ndarray,
+    qend: np.ndarray,
+    strand_rev: np.ndarray,
+    qseqs,
+    qquals,
+    qid_local: np.ndarray,
+    n_qid: int,
+    tseq: np.ndarray,
+    tqual: np.ndarray,
+    read_len: int,
+    window_size: int,
+    top_k: int,
+    max_indel: int,
+    no_aln_qual: int,
+):
+    """Whole-read featurization in one native build + one emit call.
+
+    Returns ``(bases, quals, supported, row_aln, nrows)`` lists, one entry
+    per window, or ``None`` when the native build bails (caller falls back
+    to the per-window path). ``row_aln[w]`` maps each re-ranked pileup row
+    to its index in the caller's alignment arrays.
+    """
+    handle, out_len, out_nsup, out_nrows, n_windows = _read_build(
+        codes_list, lens_list, tstart, tend, tlen, qstart, qend, strand_rev,
+        qseqs, qquals, qid_local, n_qid, tseq, tqual, read_len, window_size,
+        top_k, max_indel, no_aln_qual,
     )
     if not handle:
         return None
@@ -413,6 +428,73 @@ def read_featurize(
         s["pos"] = p
         s["ins"] = i
     return bases, quals, supported, row_aln, out_nrows
+
+
+def read_featurize_tensors(
+    codes_list,
+    lens_list,
+    tstart: np.ndarray,
+    tend: np.ndarray,
+    tlen: np.ndarray,
+    qstart: np.ndarray,
+    qend: np.ndarray,
+    strand_rev: np.ndarray,
+    qseqs,
+    qquals,
+    qid_local: np.ndarray,
+    n_qid: int,
+    tseq: np.ndarray,
+    tqual: np.ndarray,
+    read_len: int,
+    window_size: int,
+    top_k: int,
+    max_indel: int,
+    no_aln_qual: int,
+    vocab_lut: np.ndarray,
+    token_pad: int,
+):
+    """Whole-read featurization emitting device-ready window tensors.
+
+    Same build as :func:`read_featurize`, but the emit produces what the
+    inference batcher ships (batching.collate): per window, vocab-mapped
+    token nibble rows packed ``[P, L]`` (P = (top_k+2)//2), quals transposed
+    row-major ``[C, L]``, flat supported column indices (int32) and the
+    re-ranked row -> alignment map. Returns ``(tok_packed, quals_rm,
+    support_flat, row_aln, nrows)`` lists or ``None`` on build failure.
+    """
+    handle, out_len, out_nsup, out_nrows, n_windows = _read_build(
+        codes_list, lens_list, tstart, tend, tlen, qstart, qend, strand_rev,
+        qseqs, qquals, qid_local, n_qid, tseq, tqual, read_len, window_size,
+        top_k, max_indel, no_aln_qual,
+    )
+    if not handle:
+        return None
+    try:
+        C = top_k + 1
+        P = (C + 1) // 2
+        tokp = [np.empty((P, int(l)), dtype=np.uint8) for l in out_len]
+        quals = [np.empty((C, int(l)), dtype=np.uint8) for l in out_len]
+        supflat = [np.empty(int(k), dtype=np.int32) for k in out_nsup]
+        row_aln = [np.empty(int(r), dtype=np.int32) for r in out_nrows]
+
+        def pp(arrs):
+            return np.fromiter(
+                (a.ctypes.data for a in arrs), dtype=np.uint64, count=n_windows
+            )
+
+        tp, qp, sp, rp = pp(tokp), pp(quals), pp(supflat), pp(row_aln)
+        assert vocab_lut.dtype == np.uint8
+        if vocab_lut.shape[0] < 256:  # pileup bytes are ASCII (< 128), but
+            # the kernel indexes blindly — present a full 256-entry table
+            vocab_lut = np.pad(vocab_lut, (0, 256 - vocab_lut.shape[0]))
+        vocab_lut = np.ascontiguousarray(vocab_lut)
+        _lib.ht_read_emit_tensors(
+            handle, vocab_lut.ctypes.data, int(token_pad), tp.ctypes.data,
+            qp.ctypes.data, sp.ctypes.data, rp.ctypes.data, top_k,
+        )
+    finally:
+        _lib.ht_read_free(handle)
+    return tokp, quals, supflat, row_aln, out_nrows
 
 
 PROF_PHASES = (

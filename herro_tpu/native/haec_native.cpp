@@ -887,6 +887,7 @@ struct RFWin {
   std::vector<uint8_t> bases, quals;  // final row-major (len, top_k + 1)
   std::vector<uint16_t> sup_pos;
   std::vector<uint8_t> sup_ins;
+  std::vector<int32_t> sup_flat;  // flat column index per supported pos
   std::vector<int32_t> row_aln;  // re-ranked row -> caller aln index
   int64_t len = 0;
 };
@@ -1151,6 +1152,9 @@ void* ht_read_build(
         if (mask[l]) {
           wn.sup_pos.push_back((uint16_t)apos);
           wn.sup_ins.push_back((uint8_t)(is_anchor ? 0 : l - last_anchor));
+          // anchors[pos] + ins == last_anchor + (l - last_anchor) == l: the
+          // flat supported column index the batcher wants is just l.
+          wn.sup_flat.push_back((int32_t)l);
         }
       }
     }
@@ -1175,6 +1179,57 @@ void ht_read_emit(void* handle, const uint64_t* bases_p,
     memcpy((void*)sup_pos_p[w], wn.sup_pos.data(),
            wn.sup_pos.size() * sizeof(uint16_t));
     memcpy((void*)sup_ins_p[w], wn.sup_ins.data(), wn.sup_ins.size());
+    memcpy((void*)row_aln_p[w], wn.row_aln.data(),
+           wn.row_aln.size() * sizeof(int32_t));
+  }
+}
+
+// Device-ready emit: per window, vocab-mapped token nibble rows packed
+// [P, len] (P = (C+1)/2; packed row p holds pileup rows 2p low / 2p+1 high,
+// the phantom odd row reading `token_pad` — exactly batching.pack_tokens on
+// BASES_MAP-encoded bases), quals transposed row-major [C, len], and the
+// flat supported column indices (int32). These are the bytes the inference
+// batch ships to the device (batching.collate), so the Python tensorize +
+// pack + per-window transpose passes (~1/6 of heavy-profile host CPU)
+// disappear; byte parity with that path is enforced by
+// tests/test_extract_parity.py.
+void ht_read_emit_tensors(void* handle, const uint8_t* vocab_lut,
+                          int64_t token_pad, const uint64_t* tokp_p,
+                          const uint64_t* qualr_p, const uint64_t* supflat_p,
+                          const uint64_t* row_aln_p, int64_t top_k) {
+  RFHandle* h = (RFHandle*)handle;
+  const int64_t C = top_k + 1;
+  const int64_t P = (C + 1) / 2;
+  for (size_t w = 0; w < h->wins.size(); ++w) {
+    const RFWin& wn = h->wins[w];
+    const int64_t L = wn.len;
+    uint8_t* tok = (uint8_t*)tokp_p[w];
+    uint8_t* qr = (uint8_t*)qualr_p[w];
+    const uint8_t* b = wn.bases.data();
+    const uint8_t* q = wn.quals.data();
+    for (int64_t p = 0; p < P; ++p) {
+      const int64_t r0 = 2 * p, r1 = 2 * p + 1;
+      uint8_t* dst = tok + p * L;
+      if (r1 < C) {
+        const uint8_t* s0 = b + r0;
+        const uint8_t* s1 = b + r1;
+        for (int64_t l = 0; l < L; ++l)
+          dst[l] = (uint8_t)(vocab_lut[s0[l * C]] |
+                             (vocab_lut[s1[l * C]] << 4));
+      } else {
+        const uint8_t* s0 = b + r0;
+        const uint8_t hi = (uint8_t)(token_pad << 4);
+        for (int64_t l = 0; l < L; ++l)
+          dst[l] = (uint8_t)(vocab_lut[s0[l * C]] | hi);
+      }
+    }
+    for (int64_t j = 0; j < C; ++j) {
+      uint8_t* dst = qr + j * L;
+      const uint8_t* src = q + j;
+      for (int64_t l = 0; l < L; ++l) dst[l] = src[l * C];
+    }
+    memcpy((void*)supflat_p[w], wn.sup_flat.data(),
+           wn.sup_flat.size() * sizeof(int32_t));
     memcpy((void*)row_aln_p[w], wn.row_aln.data(),
            wn.row_aln.size() * sizeof(int32_t));
   }

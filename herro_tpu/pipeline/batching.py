@@ -25,6 +25,7 @@ import numpy as np
 from ..constants import (
     BASES_MAP,
     GAP_FWD,
+    N_ROWS,
     QUAL_PAD,
     TOKEN_PAD,
 )
@@ -33,24 +34,49 @@ from ..features.extract import WindowFeatures
 
 @dataclass
 class WindowTensors:
-    """Model-ready representation of one window."""
+    """Model-ready representation of one window.
+
+    Two equivalent storage layouts:
+
+    * column-major (``tokens``/``quals`` [L, 31]) — what :func:`tensorize`
+      builds from a :class:`WindowFeatures`;
+    * device layout (``tokens_packed`` [16, L] nibble rows + ``quals_rm``
+      [31, L]) — what the native tensor emit produces directly
+      (ht_read_emit_tensors); :func:`collate` then reduces to row memcpys.
+
+    Exactly one layout is populated; both collate to identical batch bytes
+    (tests/test_extract_parity.py).
+    """
 
     rid: int
     wid: int
     n_alns: int
     n_total_wins: int
-    tokens: np.ndarray  # uint8 [L, 31] vocab ids
-    quals: np.ndarray  # uint8 [L, 31] phred+33 bytes
+    tokens: np.ndarray | None  # uint8 [L, 31] vocab ids
+    quals: np.ndarray | None  # uint8 [L, 31] phred+33 bytes
     support_flat: np.ndarray  # int32 [n_sup] flat column index per supported pos
-    supported: np.ndarray  # structured (pos, ins) — kept for training dumps
+    supported: np.ndarray | None  # structured (pos, ins) — training dumps only
+    tokens_packed: np.ndarray | None = None  # uint8 [16, L] packed nibble rows
+    quals_rm: np.ndarray | None = None  # uint8 [31, L]
 
     @property
     def length(self) -> int:
-        return self.tokens.shape[0]
+        if self.tokens is not None:
+            return self.tokens.shape[0]
+        return self.tokens_packed.shape[1]
 
     @property
     def n_supported(self) -> int:
         return self.support_flat.shape[0]
+
+    def tokens_lc(self) -> np.ndarray:
+        """[L, 31] vocab ids regardless of storage layout (host-side
+        counting decode of no-supported windows)."""
+        if self.tokens is not None:
+            return self.tokens
+        return np.ascontiguousarray(
+            unpack_tokens_np(self.tokens_packed, N_ROWS).T
+        )
 
 
 def encode_window(
@@ -179,19 +205,38 @@ class Batch:
 
 def collate(windows: list[WindowTensors], L: int, S: int, batch_size: int) -> Batch:
     B = batch_size
-    R = windows[0].tokens.shape[1]
-    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.uint8)
-    quals = np.full((B, R, L), QUAL_PAD, dtype=np.uint8)
     support_idx = np.zeros((B, S), dtype=np.int32)
     support_mask = np.zeros((B, S), dtype=bool)
     n_alns = np.zeros(B, dtype=np.int32)
     for i, w in enumerate(windows):
-        l, s = w.length, w.n_supported
-        tokens[i, :l] = w.tokens
-        quals[i, :, :l] = w.quals.T
+        s = w.n_supported
         support_idx[i, :s] = w.support_flat
         support_mask[i, :s] = True
         n_alns[i] = w.n_alns
+
+    if windows[0].tokens_packed is not None:
+        # Device-layout windows (native tensor emit): pure row memcpys. The
+        # packed pad byte is two TOKEN_PAD nibbles — identical to packing a
+        # TOKEN_PAD-filled [B, L, R] matrix.
+        P = windows[0].tokens_packed.shape[0]
+        R = 2 * P - 1
+        packed = np.full(
+            (B, P, L), TOKEN_PAD | (TOKEN_PAD << 4), dtype=np.uint8
+        )
+        quals = np.full((B, R, L), QUAL_PAD, dtype=np.uint8)
+        for i, w in enumerate(windows):
+            l = w.length
+            packed[i, :, :l] = w.tokens_packed
+            quals[i, :, :l] = w.quals_rm
+        return Batch(packed, quals, support_idx, support_mask, n_alns, windows)
+
+    R = windows[0].tokens.shape[1]
+    tokens = np.full((B, L, R), TOKEN_PAD, dtype=np.uint8)
+    quals = np.full((B, R, L), QUAL_PAD, dtype=np.uint8)
+    for i, w in enumerate(windows):
+        l = w.length
+        tokens[i, :l] = w.tokens
+        quals[i, :, :l] = w.quals.T
     packed = np.ascontiguousarray(pack_tokens(tokens).transpose(0, 2, 1))
     return Batch(packed, quals, support_idx, support_mask, n_alns, windows)
 

@@ -334,7 +334,7 @@ def run_correction(
         if wt.n_supported == 0:
             # No model columns: pure counting decode, host side
             # (src/inference.rs:241-250 — such windows never reach the model).
-            dec = count_decisions_np(wt.tokens, wt.n_alns)
+            dec = count_decisions_np(wt.tokens_lc(), wt.n_alns)
             add_result(
                 WindowResult(
                     rid=wt.rid,
@@ -388,10 +388,14 @@ def run_correction(
                 reads, source, window_size, feat_procs, handle_window, timers
             )
         elif feat_threads <= 1:
+            # Native tensor emit: windows arrive in device layout (packed
+            # nibble rows + row-major quals), so tensorize/pack/transpose
+            # never run on the consumer thread.
+            from ..features.extract import extract_read_tensors
+
             for rid, alns in source:
                 t0 = _time.perf_counter()
-                feats = extract_read_features(rid, reads, alns, window_size)
-                wts = [tensorize(wf) for wf in feats]
+                wts = extract_read_tensors(rid, reads, alns, window_size)
                 timers.featgen_s += _time.perf_counter() - t0
                 for wt in wts:
                     handle_window(wt)
