@@ -46,7 +46,10 @@ def _worker_loop(task_q, result_q, window_size: int, do_tensorize: bool):
 
     reads: ReadSet = _WORKER_STATE["reads"]
     if do_tensorize:
-        from ..pipeline.batching import tensorize
+        # Device-layout windows straight from the native emit: besides
+        # skipping tensorize/pack, the packed token rows halve the pickled
+        # bytes a window costs on the result queue.
+        from ..features.extract import extract_read_tensors
 
     while True:
         item = task_q.get()
@@ -58,8 +61,10 @@ def _worker_loop(task_q, result_q, window_size: int, do_tensorize: bool):
         # end-of-run sentinel for a racing worker to steal.
         try:
             t0 = _time.perf_counter()
-            feats = extract_read_features(rid, reads, alns, window_size)
-            out = [tensorize(wf) for wf in feats] if do_tensorize else feats
+            if do_tensorize:
+                out = extract_read_tensors(rid, reads, alns, window_size)
+            else:
+                out = extract_read_features(rid, reads, alns, window_size)
             dt = _time.perf_counter() - t0
         except BaseException:
             result_q.put(("error", rid, traceback.format_exc()))

@@ -51,10 +51,19 @@ def test_proc_featgen_byte_parity(dataset):
     )
 
     assert set(got) == set(serial)
+    from herro_tpu.pipeline.batching import pack_tokens
+
     for key, wt in got.items():
         ref = serial[key]
-        assert wt.tokens.tobytes() == ref.tokens.tobytes()
-        assert wt.quals.tobytes() == ref.quals.tobytes()
+        # pool workers emit device-layout windows (packed nibble rows +
+        # row-major quals) — compare against the tensorize equivalent
+        assert wt.tokens is None and wt.tokens_packed is not None
+        assert (
+            wt.tokens_packed.tobytes()
+            == np.ascontiguousarray(pack_tokens(ref.tokens).T).tobytes()
+        )
+        assert wt.quals_rm.tobytes() == ref.quals.T.tobytes()
+        assert wt.tokens_lc().tobytes() == ref.tokens.tobytes()
         assert np.array_equal(wt.support_flat, ref.support_flat)
         assert wt.n_alns == ref.n_alns and wt.n_total_wins == ref.n_total_wins
 
@@ -204,7 +213,7 @@ def test_pool_reuse_across_runs(dataset):
             )
             assert set(got) == set(serial)
             for key, wt in got.items():
-                assert wt.tokens.tobytes() == serial[key].tokens.tobytes()
+                assert wt.tokens_lc().tobytes() == serial[key].tokens.tobytes()
 
 
 @pytest.mark.skipif(not can_fork(), reason="fork unavailable")
