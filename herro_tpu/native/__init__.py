@@ -498,8 +498,9 @@ def read_featurize_tensors(
 
 
 PROF_PHASES = (
-    "extract+filter", "accuracy+sort", "maxins+anchors", "fill+transpose",
+    "extract+filter", "anchfill+acc+sort", "maxins+anchors", "fill_topk",
     "supported+phase", "rerank+compact", "final_supported", "total_build",
+    "emit_tensors",
 )
 
 

@@ -846,8 +846,8 @@ namespace {
 // and threads; drained from Python via ht_prof_dump (native/__init__.py).
 // Phases: 0 extract+indel-filter, 1 accuracy+sort, 2 max_ins+anchors,
 // 3 row fill+transpose, 4 supported+phase-accum, 5 re-rank+compaction,
-// 6 final supported, 7 whole build.
-constexpr int PROF_N = 8;
+// 6 final supported, 7 whole build, 8 tensor emit.
+constexpr int PROF_N = 9;
 std::atomic<int64_t> g_prof_ns[PROF_N];
 
 bool prof_enabled() {
@@ -879,9 +879,96 @@ struct ProfScope {
 
 struct RFRow {
   int32_t aln;
+  int32_t plane;  // index of this row's anchor plane (original arrival order)
   int64_t t_ws, q_ws, op_s, off_s, op_e, off_e;
   double acc;
 };
+
+// SSE2 match counter for the merged anchor-fill + accuracy walk.
+static inline int64_t count_matches(const uint8_t* a, const uint8_t* b,
+                                    int64_t l) {
+  int64_t m = 0, i = 0;
+#ifdef __SSE2__
+  for (; i + 16 <= l; i += 16) {
+    __m128i eq =
+        _mm_cmpeq_epi8(_mm_loadu_si128((const __m128i*)(a + i)),
+                       _mm_loadu_si128((const __m128i*)(b + i)));
+    m += __builtin_popcount((unsigned)_mm_movemask_epi8(eq));
+  }
+#endif
+  for (; i < l; ++i) m += a[i] == b[i];
+  return m;
+}
+
+// Lowercase copy for reverse-strand rows. Query bytes come from the 2-bit
+// sequence arena so they are always uppercase ACGT, for which `| 0x20` is
+// exactly lower_table() (asserted nowhere hotter than here: the scalar tail
+// uses the table, so any non-ACGT byte would still fold identically to the
+// old per-byte path).
+static inline void copy_lower(uint8_t* dst, const uint8_t* src, int64_t l) {
+  int64_t i = 0;
+#ifdef __SSE2__
+  const __m128i m20 = _mm_set1_epi8(0x20);
+  for (; i + 16 <= l; i += 16)
+    _mm_storeu_si128(
+        (__m128i*)(dst + i),
+        _mm_or_si128(_mm_loadu_si128((const __m128i*)(src + i)), m20));
+#endif
+  const auto& lower = lower_table();
+  for (; i < l; ++i) dst[i] = lower[src[i]];
+}
+
+// One walk per overlap row: fill the ANCHOR-COLUMN base plane (win_len
+// bytes — insertion columns do not exist yet) and compute the window-local
+// alignment accuracy. Pass 1 only ever needs anchor columns (supported
+// mask, phase scores) — the full insertion-aware fill is deferred to pass 2
+// for the top-k surviving rows only, which at heavy coverage (~90 rows
+// down to 31) is the difference between filling 1.7 MB and 0.4 MB per
+// window (fill was 35-50% of build, HT_PROF). The accuracy walk
+// (previously a separate full cigar pass, ht_window_accuracy) rides along:
+// identical counters, including the divergent query-position traces for
+// boundary-partial insertions (accuracy consumes the effective length,
+// the fill consumes the raw op length — src/features.rs:585-679 vs
+// 110-266).
+static double fill_anchor_row_acc(uint8_t* plane, int64_t win_len,
+                                  const uint8_t* codes, const int32_t* lens,
+                                  int64_t op_s, int64_t off_s, int64_t op_e,
+                                  int64_t off_e, int64_t t_base,
+                                  int strand_rev, const uint8_t* qseq,
+                                  const uint8_t* tseq_row) {
+  const uint8_t gap = strand_rev ? '#' : '*';
+  memset(plane, '.', (size_t)t_base);
+  int64_t tp = 0, qp_f = 0, qp_a = 0;
+  int64_t m = 0, s = 0, ins = 0, del = 0;
+  const int64_t n = op_e - op_s;
+  for (int64_t j = 0; j < n; ++j) {
+    const uint8_t op = codes[op_s + j];
+    const int64_t l = eff_len(lens, op_s, off_s, op_e, off_e, j);
+    if (op == OP_M) {
+      const int64_t mm = count_matches(tseq_row + tp, qseq + qp_a, l);
+      m += mm;
+      s += l - mm;
+      if (strand_rev)
+        copy_lower(plane + t_base + tp, qseq + qp_f, l);
+      else
+        memcpy(plane + t_base + tp, qseq + qp_f, (size_t)l);
+      tp += l;
+      qp_a += l;
+      qp_f += l;
+    } else if (op == OP_D) {
+      memset(plane + t_base + tp, gap, (size_t)l);
+      del += l;
+      tp += l;
+    } else {  // OP_I
+      ins += l;
+      qp_a += l;
+      qp_f += lens[op_s + j];  // fill trace consumes the RAW insertion
+    }
+  }
+  memset(plane + t_base + tp, '.', (size_t)(win_len - (t_base + tp)));
+  const int64_t total = m + s + ins + del;
+  return total ? (double)m / (double)total : 0.0;
+}
 
 struct RFWin {
   std::vector<uint8_t> bases, quals;  // final row-major (len, top_k + 1)
@@ -893,15 +980,14 @@ struct RFWin {
 };
 
 struct RFStaged {
-  // First pass stages ROW-MAJOR planes only (query row i at rowb/rowq
-  // [i*length, (i+1)*length)) plus the target-column plane; the final
-  // column-major pileup is built in the second pass from the top-k
-  // surviving rows, so the (length, n_rows)-wide fill+transpose that
-  // dominated 90x featgen (HT_PROF round 5: 51% of build) never happens.
-  std::vector<uint8_t> rowb, rowq;  // [n, length] query row planes
-  std::vector<uint8_t> tgtb;        // [length] target column bases
-  std::vector<int64_t> anchor;      // win_len + 1
-  std::vector<RFRow> rows;          // accuracy-sorted
+  // First pass stages only ANCHOR-COLUMN base planes ([n, win_len], one per
+  // overlap row, arrival order — RFRow.plane indexes them): the supported
+  // mask, phase scores and accuracy never look at insertion columns, so the
+  // full [length]-wide insertion-aware fill is deferred to pass 2 and runs
+  // for the top-k *surviving* rows only (at ~90x: 31 of ~90).
+  std::vector<uint8_t> anch;    // [n, win_len] anchor base planes
+  std::vector<int64_t> anchor;  // win_len + 1
+  std::vector<RFRow> rows;      // accuracy-sorted
   int64_t length = 0, n_cols = 0, win_len = 0;
 };
 
@@ -951,7 +1037,8 @@ void* ht_read_build(
           if (cods[j] != OP_M && lns[j] > max_indel) { bad = true; break; }
         if (bad) continue;
         staged[w].rows.push_back(
-            {(int32_t)a, row[1], row[2], row[4], row[5], row[6], row[7], 0.0});
+            {(int32_t)a, 0, row[1], row[2], row[4], row[5], row[6], row[7],
+             0.0});
       }
     }
   }
@@ -971,14 +1058,22 @@ void* ht_read_build(
     auto& rows = st.rows;
     const int64_t n = (int64_t)rows.size();
 
-    // Window-local accuracy, stable-sorted descending (features.rs:386-409).
+    // Anchor-plane fill + window-local accuracy in one walk per row, then
+    // stable accuracy sort (features.rs:386-409). Planes stay in arrival
+    // order (RFRow.plane) so the sort moves 64-byte rows, not megabytes.
     {
       ProfScope p1(1);
-      for (auto& r : rows)
-        r.acc = ht_window_accuracy(
+      if (n) st.anch.resize((size_t)(n * st.win_len));
+      for (int64_t i = 0; i < n; ++i) {
+        RFRow& r = rows[i];
+        r.plane = (int32_t)i;
+        r.acc = fill_anchor_row_acc(
+            st.anch.data() + i * st.win_len, st.win_len,
             (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
-            r.op_s, r.off_s, r.op_e, r.off_e, tseq + r.t_ws,
-            (const uint8_t*)qseq_p[r.aln] + r.q_ws);
+            r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
+            (int)strand_rev[r.aln], (const uint8_t*)qseq_p[r.aln] + r.q_ws,
+            tseq + r.t_ws);
+      }
       std::stable_sort(rows.begin(), rows.end(),
                        [](const RFRow& x, const RFRow& y) { return x.acc > y.acc; });
     }
@@ -998,58 +1093,35 @@ void* ht_read_build(
       st.n_cols = 1 + std::max<int64_t>(n, top_k);
     }
 
-    {
-      ProfScope p3(3);
-      st.tgtb.assign((size_t)st.length, '*');
-      for (int64_t t = 0; t < st.win_len; ++t)
-        st.tgtb[(size_t)st.anchor[t]] = tseq[win_start + t];
-
-      if (n) {
-        st.rowb.resize((size_t)(n * st.length));
-        st.rowq.assign((size_t)(n * st.length), (uint8_t)no_aln_qual);
-        for (int64_t i = 0; i < n; ++i) {
-          const RFRow& r = rows[i];
-          fill_query_row_flat(
-              st.rowb.data() + i * st.length, st.rowq.data() + i * st.length,
-              st.length,
-              (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
-              r.op_s, r.off_s, r.op_e, r.off_e, r.t_ws - win_start,
-              (int)strand_rev[r.aln], (const uint8_t*)qseq_p[r.aln] + r.q_ws,
-              (const uint8_t*)qqual_p[r.aln] + r.q_ws, st.anchor.data(),
-              max_ins.data());
-        }
-      }
-    }
-
     // Haplotype phase scores accumulate over supported *anchor* columns
     // only: insertion columns carry '*' in the target row and are excluded
     // by the tgt != GAP filter (features.rs:461-509; extract.py). Supported
-    // columns come from row-plane class counts — byte-identical to the old
-    // full-matrix ht_supported_mask pass (the target plane is counted as a
-    // row; '.' padding columns of the old matrix counted nothing).
+    // columns come from anchor-plane class counts — identical bytes at
+    // anchor columns to the old full-width planes (the target anchor plane
+    // IS the raw read slice; insertion columns never reach the counts the
+    // anchor loop sampled, and '.' padding counts nothing).
     if (n) {
       ProfScope p4(4);
       rowptrs.resize((size_t)n + 1);
-      rowptrs[0] = st.tgtb.data();
+      rowptrs[0] = tseq + win_start;
       for (int64_t i = 0; i < n; ++i)
-        rowptrs[(size_t)i + 1] = st.rowb.data() + i * st.length;
-      counts.assign((size_t)(5 * st.length), 0);
-      class_counts_rows(rowptrs.data(), n + 1, st.length, counts.data());
+        rowptrs[(size_t)i + 1] = st.anch.data() + i * st.win_len;
+      counts.assign((size_t)(5 * st.win_len), 0);
+      class_counts_rows(rowptrs.data(), n + 1, st.win_len, counts.data());
       const int64_t thresh = (int64_t)((double)st.n_cols * 0.1);
       sup_anchor.clear();
       for (int64_t t = 0; t < st.win_len; ++t) {
-        const int64_t l = st.anchor[t];
         int reach = 0;
         for (int k = 0; k < 5; ++k)
-          reach += counts[(size_t)(k * st.length + l)] >= thresh;
-        if (reach >= 2) sup_anchor.push_back(l);
+          reach += counts[(size_t)(k * st.win_len + t)] >= thresh;
+        if (reach >= 2) sup_anchor.push_back(t);
       }
       for (int64_t i = 0; i < n; ++i) {
         const int64_t q = qid_local[rows[i].aln];
-        const uint8_t* plane = st.rowb.data() + i * st.length;
+        const uint8_t* plane = st.anch.data() + rows[i].plane * st.win_len;
         int64_t nn = 0, dd = 0;
-        for (const int64_t l : sup_anchor) {
-          if (upper[plane[l]] == st.tgtb[(size_t)l]) ++nn; else ++dd;
+        for (const int64_t t : sup_anchor) {
+          if (upper[plane[t]] == tseq[win_start + t]) ++nn; else ++dd;
         }
         num[q] += nn;
         den[q] += dd;
@@ -1070,10 +1142,13 @@ void* ht_read_build(
   h->wins.resize((size_t)n_windows);
   const int64_t C = top_k + 1;
   std::vector<int32_t> sr;
+  std::vector<int32_t> max_ins_w;
+  std::vector<uint8_t> rowb, rowq;  // pass-2 scratch: top-k full row planes
   for (int64_t w = 0; w < n_windows; ++w) {
     RFStaged& st = staged[w];
     RFWin& wn = h->wins[w];
     const int64_t n = (int64_t)st.rows.size();
+    const int64_t win_start = w * W;
 
     int64_t L2 = 0;
     {
@@ -1092,22 +1167,46 @@ void* ht_read_build(
       for (int64_t i = 0; i < n; ++i)
         wn.row_aln[i] = st.rows[sr[i + 1] - 1].aln;
 
-      // Build the (length, C) pileup directly in re-ranked column order:
-      // col 0 is the target plane, cols 1..m-1 the selected row planes
-      // (transposed), cols m.. stay '.'-padding with no-aln quals — the
-      // same bytes the old full-width matrix + colmap indirection gave.
+      // Full insertion-aware fill for the m-1 SURVIVING rows only (pass 1
+      // staged anchor planes only); max_ins recovers from the anchor
+      // prefix. Then build the (length, C) pileup directly in re-ranked
+      // column order: col 0 is the target plane, cols 1..m-1 the selected
+      // row planes (transposed), cols m.. stay '.'-padding with no-aln
+      // quals — the same bytes the old full-width matrix + colmap
+      // indirection gave.
       wn.bases.assign((size_t)(st.length * C), '.');
       wn.quals.assign((size_t)(st.length * C), (uint8_t)no_aln_qual);
       for (int64_t l = 0; l < st.length; ++l)
-        wn.bases[(size_t)(l * C)] = st.tgtb[(size_t)l];
-      for (int64_t t = 0; t < st.win_len; ++t)
+        wn.bases[(size_t)(l * C)] = '*';
+      for (int64_t t = 0; t < st.win_len; ++t) {
+        wn.bases[(size_t)(st.anchor[t] * C)] = tseq[win_start + t];
         wn.quals[(size_t)(st.anchor[t] * C)] = tqual[w * W + t];
+      }
       if (m > 1) {
+        ProfScope p3(3);
+        max_ins_w.resize((size_t)st.win_len);
+        for (int64_t t = 0; t < st.win_len; ++t)
+          max_ins_w[(size_t)t] =
+              (int32_t)(st.anchor[t + 1] - st.anchor[t] - 1);
+        rowb.resize((size_t)((m - 1) * st.length));
+        rowq.assign((size_t)((m - 1) * st.length), (uint8_t)no_aln_qual);
+        for (int64_t j = 1; j < m; ++j) {
+          const RFRow& r = st.rows[sr[j] - 1];
+          fill_query_row_flat(
+              rowb.data() + (j - 1) * st.length,
+              rowq.data() + (j - 1) * st.length, st.length,
+              (const uint8_t*)codes_p[r.aln], (const int32_t*)lens_p[r.aln],
+              r.op_s, r.off_s, r.op_e, r.off_e,
+              r.t_ws - win_start, (int)strand_rev[r.aln],
+              (const uint8_t*)qseq_p[r.aln] + r.q_ws,
+              (const uint8_t*)qqual_p[r.aln] + r.q_ws, st.anchor.data(),
+              max_ins_w.data());
+        }
         rowptrs.resize((size_t)(2 * (m - 1)));
         for (int64_t j = 1; j < m; ++j) {
-          const int64_t i = sr[j] - 1;  // accuracy-sorted row index
-          rowptrs[(size_t)(j - 1)] = st.rowb.data() + i * st.length;
-          rowptrs[(size_t)(m - 1 + j - 1)] = st.rowq.data() + i * st.length;
+          rowptrs[(size_t)(j - 1)] = rowb.data() + (j - 1) * st.length;
+          rowptrs[(size_t)(m - 1 + j - 1)] =
+              rowq.data() + (j - 1) * st.length;
         }
         scatter_rowptrs_to_cols(rowptrs.data(), m - 1, st.length,
                                 wn.bases.data(), C);
@@ -1116,12 +1215,35 @@ void* ht_read_build(
       }
 
       // In-place all-gap column compaction (forward scan: dst <= src).
+#ifdef __SSE2__
+      const __m128i dot_v = _mm_set1_epi8('.');
+      const __m128i star_v = _mm_set1_epi8('*');
+      const __m128i hash_v = _mm_set1_epi8('#');
+#endif
       for (int64_t l = 0; l < st.length; ++l) {
         const uint8_t* ob = wn.bases.data() + l * C;
         bool keep = false;
-        for (int64_t j = 0; j < C; ++j) {
-          const uint8_t b = ob[j];
-          keep |= (b != '.' && b != '*' && b != '#');
+#ifdef __SSE2__
+        if (C >= 16) {
+          // a column is kept iff any byte is a real base; test 16 bytes per
+          // step, the tail re-testing the last 16 (overlap is harmless)
+          for (int64_t j = 0;; j += 16) {
+            if (j + 16 > C) j = C - 16;
+            __m128i ch = _mm_loadu_si128((const __m128i*)(ob + j));
+            __m128i gapish = _mm_or_si128(
+                _mm_or_si128(_mm_cmpeq_epi8(ch, dot_v),
+                             _mm_cmpeq_epi8(ch, star_v)),
+                _mm_cmpeq_epi8(ch, hash_v));
+            if (_mm_movemask_epi8(gapish) != 0xFFFF) { keep = true; break; }
+            if (j == C - 16) break;
+          }
+        } else
+#endif
+        {
+          for (int64_t j = 0; j < C; ++j) {
+            const uint8_t b = ob[j];
+            keep |= (b != '.' && b != '*' && b != '#');
+          }
         }
         if (keep) {
           if (L2 != l) {
@@ -1135,9 +1257,7 @@ void* ht_read_build(
       wn.bases.resize((size_t)(L2 * C));
       wn.quals.resize((size_t)(L2 * C));
       wn.len = L2;
-      st.rowb.clear(); st.rowb.shrink_to_fit();
-      st.rowq.clear(); st.rowq.shrink_to_fit();
-      st.tgtb.clear(); st.tgtb.shrink_to_fit();
+      st.anch.clear(); st.anch.shrink_to_fit();
     }
 
     {
@@ -1197,6 +1317,7 @@ void ht_read_emit_tensors(void* handle, const uint8_t* vocab_lut,
                           int64_t token_pad, const uint64_t* tokp_p,
                           const uint64_t* qualr_p, const uint64_t* supflat_p,
                           const uint64_t* row_aln_p, int64_t top_k) {
+  ProfScope prof_emit(8);
   RFHandle* h = (RFHandle*)handle;
   const int64_t C = top_k + 1;
   const int64_t P = (C + 1) / 2;
