@@ -102,22 +102,65 @@ extern "C" {
 // 2-bit sequence codec (reference: src/haec_io.rs:121-173)
 // ---------------------------------------------------------------------------
 
+namespace {
+
+// 256 -> 4-ascii-byte decode tables: source byte b holds bases 4k..4k+3
+// (base j at bits 2j, little-endian arena layout). fwd emits them in
+// ascending order; rc emits the complements in descending order (so the
+// caller walks source bytes backwards and writes forward).
+struct Decode4 {
+  uint32_t fwd[256];
+  uint32_t rc[256];
+  Decode4() {
+    for (int b = 0; b < 256; ++b) {
+      uint8_t f[4], r[4];
+      for (int j = 0; j < 4; ++j) {
+        const int code = (b >> (2 * j)) & 3;
+        f[j] = BASE_OF_CODE[code];
+        r[3 - j] = BASE_OF_CODE[code ^ 3];
+      }
+      memcpy(&fwd[b], f, 4);
+      memcpy(&rc[b], r, 4);
+    }
+  }
+};
+const Decode4& decode4() {
+  static const Decode4 t;
+  return t;
+}
+
+}  // namespace
+
 void ht_decode_2bit(const uint64_t* words, int64_t start, int64_t end, int rc,
                     uint8_t* out) {
   if (start >= end) return;
-  int64_t n = end - start;
+  const int64_t n = end - start;
+  const uint8_t* bytes = (const uint8_t*)words;
+  const Decode4& t = decode4();
   if (!rc) {
-    for (int64_t idx = 0; idx < n; ++idx) {
-      int64_t i = start + idx;
-      uint64_t code = (words[i >> 5] >> ((i << 1) & 63)) & 3;
-      out[idx] = BASE_OF_CODE[code];
+    int64_t idx = 0, i = start;
+    while (idx < n && (i & 3)) {  // scalar head to a 4-base boundary
+      out[idx++] = BASE_OF_CODE[(bytes[i >> 2] >> ((i & 3) * 2)) & 3];
+      ++i;
     }
+    for (; idx + 4 <= n; idx += 4, i += 4) {
+      uint32_t v = t.fwd[bytes[i >> 2]];
+      memcpy(out + idx, &v, 4);
+    }
+    for (; idx < n; ++idx, ++i)
+      out[idx] = BASE_OF_CODE[(bytes[i >> 2] >> ((i & 3) * 2)) & 3];
   } else {
-    for (int64_t idx = 0; idx < n; ++idx) {
-      int64_t i = end - 1 - idx;
-      uint64_t code = ((words[i >> 5] >> ((i << 1) & 63)) & 3) ^ 3;
-      out[idx] = BASE_OF_CODE[code];
+    int64_t idx = 0, i = end - 1;
+    while (idx < n && (i & 3) != 3) {  // head until source byte boundary
+      out[idx++] = BASE_OF_CODE[((bytes[i >> 2] >> ((i & 3) * 2)) & 3) ^ 3];
+      --i;
     }
+    for (; idx + 4 <= n; idx += 4, i -= 4) {
+      uint32_t v = t.rc[bytes[i >> 2]];
+      memcpy(out + idx, &v, 4);
+    }
+    for (; idx < n; ++idx, --i)
+      out[idx] = BASE_OF_CODE[((bytes[i >> 2] >> ((i & 3) * 2)) & 3) ^ 3];
   }
 }
 
