@@ -521,6 +521,18 @@ def _rope_apply(x, cos, sin):
     ).astype(x.dtype)
 
 
+def _rope_apply_roll(x, cos_d, sin_signed):
+    """Rotate-half rotary without sub-lane slice/concat: one hardware lane
+    rotation by D/2 plus full-width multiplies. Mathematically identical to
+    :func:`_rope_apply` with ``cos_d = [cos|cos]``, ``sin_signed =
+    [-sin|sin]`` — the D/2-wide half-slices of the split formulation are
+    lane-crossing relayouts on the 128-lane VPU; ``pltpu.roll`` is one
+    shuffle."""
+    xf = x.astype(jnp.float32)
+    rolled = pltpu.roll(xf, shift=x.shape[-1] // 2, axis=1)
+    return (xf * cos_d + rolled * sin_signed).astype(x.dtype)
+
+
 def _ln_qkv_rope_kernel(
     x_ref,  # VMEM [1, blk_t, d]
     scale_ref, bias_ref,  # VMEM [1, d]
@@ -530,6 +542,7 @@ def _ln_qkv_rope_kernel(
     *,
     n_heads: int,
     blk_t: int,
+    rope_roll: bool = False,
 ):
     y = layernorm(x_ref[0], scale_ref[0], bias_ref[0])
     qkv = (
@@ -545,22 +558,34 @@ def _ln_qkv_rope_kernel(
     D = q_ref.shape[-1]
     pos0 = pl.program_id(1) * blk_t  # positions are the absolute column
     cos, sin = _rope_tables_blk(pos0, blk_t, D // 2)
+    if rope_roll:
+        cos_d = jnp.concatenate([cos, cos], axis=1)
+        sin_signed = jnp.concatenate([-sin, sin], axis=1)
+        rope = lambda t: _rope_apply_roll(t, cos_d, sin_signed)
+    else:
+        rope = lambda t: _rope_apply(t, cos, sin)
     for h in range(H):
-        q_ref[0, h] = _rope_apply(qkv[:, h * D : (h + 1) * D], cos, sin)
-        k_ref[0, h] = _rope_apply(
-            qkv[:, (H + h) * D : (H + h + 1) * D], cos, sin
-        )
+        q_ref[0, h] = rope(qkv[:, h * D : (h + 1) * D])
+        k_ref[0, h] = rope(qkv[:, (H + h) * D : (H + h + 1) * D])
         v_ref[0, h] = qkv[:, (2 * H + h) * D : (2 * H + h + 1) * D]
 
 
-def _ln_qkv_rope_pallas(x, scale, bias, w, b, n_heads: int, blk_t: int = 512):
+def _ln_qkv_rope_pallas(x, scale, bias, w, b, n_heads: int, blk_t: int = 512,
+                        rope_roll: bool | None = None):
     B, L, d = x.shape
     H = n_heads
     D = w.shape[1] // (3 * H)
     blk_t = min(blk_t, L)
     assert L % blk_t == 0, (L, blk_t)
+    if rope_roll is None:
+        import os
+
+        # experiment knob until the on-chip A/B (tools/micro_rope.py) picks
+        # a default: HERRO_TPU_ROPE=roll switches the rotary epilogue to the
+        # lane-rotation formulation
+        rope_roll = os.environ.get("HERRO_TPU_ROPE", "split") == "roll"
     kernel = functools.partial(
-        _ln_qkv_rope_kernel, n_heads=H, blk_t=blk_t
+        _ln_qkv_rope_kernel, n_heads=H, blk_t=blk_t, rope_roll=rope_roll
     )
     out_shape = jax.ShapeDtypeStruct((B, H, L, D), x.dtype)
     out_spec = pl.BlockSpec(
@@ -895,6 +920,153 @@ def _banded_flash_outproj_kernel(
     @pl.when(h != 0)
     def _acc():
         o_ref[0] = (o_ref[0].astype(jnp.float32) + part).astype(o_ref.dtype)
+
+
+def _banded_flash_outproj_rot_kernel(
+    len_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, H, blk, D]
+    k0_ref, k1_ref, k2_ref,  # VMEM [1, H, blk, D] — rotation slots
+    v0_ref, v1_ref, v2_ref,
+    x_ref,  # VMEM [1, blk, d_model]
+    wo_ref,  # VMEM [H, D, d_model]
+    bo_ref,  # VMEM [1, d_model]
+    o_ref,  # VMEM [1, blk, d_model]
+    *,
+    blk: int,
+    nq: int,
+    scale: float,
+):
+    qi = pl.program_id(1)
+    length = len_ref[pl.program_id(0)]
+    H = q_ref.shape[1]
+
+    # iq - ik plane shared by both triangular band edges; with the band
+    # block-aligned (w == blk) slot offset j in {-1, 0, +1} reduces the band
+    # test to d0 * j >= 0 (j=-1: ik >= iq; j=+1: ik <= iq; j=0: everything).
+    d0 = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0) - \
+        jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    ik_row = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+
+    base = qi - 1
+    k_refs = (k0_ref, k1_ref, k2_ref)
+    v_refs = (v0_ref, v1_ref, v2_ref)
+    slot_off = []
+    masks = []
+    for m in range(3):
+        j = ((m - base) % 3) - 1  # this slot's block offset from qi
+        b_raw = qi + j
+        valid = jnp.logical_and(b_raw >= 0, b_raw < nq)
+        mask = (
+            (d0 * j >= 0)
+            & ((b_raw * blk + ik_row) < length)
+            & valid
+        )
+        slot_off.append(j)
+        masks.append(mask)
+
+    acc = jnp.zeros((blk, x_ref.shape[-1]), dtype=jnp.float32)
+    for h in range(H):
+        qh = q_ref[0, h]  # [blk, D]
+        parts = []
+        for m in range(3):
+            s = scale * jax.lax.dot_general(
+                qh, k_refs[m][0, h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [blk, blk]
+            parts.append(jnp.where(masks[m], s, NEG_INF))
+        s = jnp.concatenate(parts, axis=1)  # [blk, 3*blk] slot order
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        v_cat = jnp.concatenate([v_refs[m][0, h] for m in range(3)], axis=0)
+        pv = jax.lax.dot_general(
+            p.astype(v_cat.dtype), v_cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk, D]
+        attn = (pv / jnp.maximum(l, 1e-30)).astype(qh.dtype)
+        acc = acc + jax.lax.dot_general(
+            attn, wo_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    o_ref[0] = (
+        x_ref[0].astype(jnp.float32) + bo_ref[...].astype(jnp.float32) + acc
+    ).astype(o_ref.dtype)
+
+
+def _banded_flash_outproj_rot_pallas(
+    q, k, v, x, wo, bo, lengths, local_window, blk: int = 512,
+    interpret: bool = False,
+):
+    """Rotation-slot banded flash for the production shape (w == blk):
+    heads fold into the kernel (grid (B, nq)) and K/V tile slot m always
+    holds the block ≡ m (mod 3) inside [qi-1, qi+1], so as the query block
+    advances exactly ONE slot's tiles change and Mosaic's revisit cache
+    keeps the other two resident — per-program K/V traffic drops from 6
+    tiles to ~2, the bulk of the banded kernel's HBM bytes at L=9216
+    (per-head tiles refetched for every head were ~2/3 of its traffic).
+    Numerics: softmax/PV run over the slot-rotated key order, a pure
+    permutation of the contraction axis (outputs equal up to f32
+    accumulation order; parity tested against the jnp twin)."""
+    B, H, L, D = q.shape
+    d_model = x.shape[-1]
+    assert L % blk == 0 and local_window == blk, (L, blk, local_window)
+    nq = L // blk
+    scale = 1.0 / math.sqrt(D)
+    kernel = functools.partial(
+        _banded_flash_outproj_rot_kernel, blk=blk, nq=nq, scale=scale,
+    )
+
+    def slot_spec(m):
+        def idx(b, i, lens, m=m):
+            base = i - 1
+            return (b, 0, jnp.clip(base + ((m - base) % 3), 0, nq - 1), 0)
+
+        return pl.BlockSpec((1, H, blk, D), idx, memory_space=pltpu.VMEM)
+
+    kv_specs = [slot_spec(m) for m in range(3)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nq),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, H, blk, D), lambda b, i, lens: (b, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *kv_specs,
+                *kv_specs,
+                pl.BlockSpec(
+                    (1, blk, d_model), lambda b, i, lens: (b, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (H, D, d_model), lambda b, i, lens: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, d_model), lambda b, i, lens: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, blk, d_model), lambda b, i, lens: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, d_model), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * 3 * blk * D + 2 * B * L * H * D * d_model,
+            bytes_accessed=B * H * L * D * 2 * 3
+            + 2 * B * L * d_model * x.dtype.itemsize,
+            transcendentals=B * H * L * 3 * blk,
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, *([k] * 3), *([v] * 3), x, wo, bo[None, :])
 
 
 def _banded_flash_outproj_pallas(

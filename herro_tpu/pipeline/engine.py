@@ -263,16 +263,20 @@ def run_correction(
     timers = timers if timers is not None else StageTimers()
     depth = max(1, pipeline_depth)
     pending: collections.deque = collections.deque()
-    # Dispatch (which includes the host->device batch upload) runs on a
-    # dedicated thread so transfers overlap with featgen — on slow links the
-    # synchronous upload was a third of end-to-end wall time. The result
-    # fetch + numpy unpack (runner.finalize: pure, no shared state) runs on a
-    # second dedicated thread for the same reason: blocking the featgen
-    # thread on the device round-trip serialised the two stages (round-3
-    # bench: featgen 10.7s + device 8.6s of a 22.9s run). Single-worker
-    # pools keep dispatch and fetch order identical to submission order;
-    # only add_result (consensus/batching state) stays consumer-thread-only.
-    uploader = ThreadPoolExecutor(max_workers=1)
+    # Dispatch (which includes the host->device batch upload) runs on
+    # dedicated threads so transfers overlap with featgen — on slow links the
+    # synchronous upload was a third of end-to-end wall time. TWO uploader
+    # workers let one batch's host-side serialization CPU overlap the other
+    # batch's network transfer (upload-bound heavy profiles: ~70 ms
+    # serialize + ~150 ms link per batch; a single worker paid their sum).
+    # Batches are independent and device-side execution order is
+    # irrelevant — result ORDER is enforced by the single-worker fetcher,
+    # which runs runner.finalize (pure, no shared state) in submission
+    # order; blocking the featgen thread on the device round-trip used to
+    # serialise the stages (round-3 bench: featgen 10.7s + device 8.6s of a
+    # 22.9s run). Only add_result (consensus/batching state) stays
+    # consumer-thread-only.
+    uploader = ThreadPoolExecutor(max_workers=2)
     fetcher = ThreadPoolExecutor(max_workers=1)
 
     skip: set[int] = set()

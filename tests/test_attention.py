@@ -108,3 +108,56 @@ def test_banded_flash_outproj_interpret_matches_twin(local_window, blk):
         np.testing.assert_allclose(
             np.asarray(out_b)[b, :l], np.asarray(out_t)[b, :l], atol=3e-4
         )
+
+
+def test_rot_banded_flash_outproj_interpret_matches_twin():
+    """The rotation-slot banded kernel (heads folded, K/V tile slot m pinned
+    to the block = m (mod 3) around the query block) must match the jnp twin
+    on valid rows, including edge query blocks (clamped duplicate slots) and
+    suffix-length masking. Production condition: local_window == blk."""
+    from herro_tpu.ops import fused
+
+    B, H, L, D, d = 2, 2, 256, 32, 64
+    blk = 64
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    wo = jnp.asarray(rng.normal(0, 0.1, size=(H, D, d)), jnp.float32)
+    bo = jnp.asarray(rng.normal(0, 0.1, size=(d,)), jnp.float32)
+    lengths = jnp.asarray([L, L - 70], jnp.int32)
+
+    out_b = fused._banded_flash_outproj_rot_pallas(
+        q, k, v, x, wo, bo, lengths, blk, blk=blk, interpret=True
+    )
+    out_t = fused._flash_outproj_jnp(q, k, v, x, wo, bo, lengths, blk)
+    for b in range(B):
+        l = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(out_b)[b, :l], np.asarray(out_t)[b, :l], atol=3e-4
+        )
+
+
+def test_rope_roll_matches_split_interpret():
+    """The lane-rotation rope epilogue must reproduce the split-half
+    formulation inside the fused LN+qkv kernel."""
+    from herro_tpu.ops import fused
+
+    B, L, d, H, D = 2, 128, 64, 2, 32
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, size=(d, 3 * H * D)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, size=(3 * H * D,)), jnp.float32)
+    s1 = jnp.ones((d,), jnp.float32)
+    b1 = jnp.zeros((d,), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused._ln_qkv_rope_pallas(
+            x, s1, b1, w, b, H, blk_t=64, rope_roll=False
+        )
+        got = fused._ln_qkv_rope_pallas(
+            x, s1, b1, w, b, H, blk_t=64, rope_roll=True
+        )
+    for a, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g), atol=2e-5)

@@ -40,7 +40,8 @@ def _time_chained(f, args, n, label):
 
 
 def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
-                 entry=True, layers=None, qkv_only=False, label=""):
+                 entry=True, layers=None, qkv_only=False, heads=True,
+                 final_ln=True, label=""):
     cfg = R10_CONFIG
     model = CorrectionModel(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -110,15 +111,23 @@ def step_variant(B, L, S, n=10, *, attn=True, ffn=True, counting=True,
                     bp["ff1"]["kernel"].astype(dt), bp["ff1"]["bias"].astype(dt),
                     bp["ff2"]["kernel"].astype(dt), bp["ff2"]["bias"].astype(dt),
                 )
-        # final LN + heads
-        xf = x.astype(jnp.float32)
-        mu = xf.mean(-1, keepdims=True)
-        var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
-        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-        y = y * p["ln_f"]["scale"] + p["ln_f"]["bias"]
-        g = jnp.take_along_axis(y.astype(dt), sidx[..., None], axis=1).astype(
-            jnp.float32
-        )
+        if not heads:
+            # cheapest possible consumption of x with the right output shapes
+            Sn = sidx.shape[1]
+            info = x[:, :Sn, 0].astype(jnp.float32)
+            logits = x[:, :Sn, :5].astype(jnp.float32)
+            return info, logits
+        # production order (models/model.py): gather supported columns FIRST,
+        # then LN on [B, S, d] — final LN commutes with the per-token gather
+        g = jnp.take_along_axis(x, sidx[..., None], axis=1)
+        if final_ln:
+            xf = g.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
+            y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+            y = y * p["ln_f"]["scale"] + p["ln_f"]["bias"]
+            g = y.astype(dt)
+        g = g.astype(jnp.float32)
         logits = g @ p["bases_head"]["kernel"] + p["bases_head"]["bias"]
         info = (g @ p["info_head"]["kernel"] + p["info_head"]["bias"])[..., 0]
         return info, logits
@@ -208,12 +217,33 @@ def op_standalone(which, B, L, n=20):
     return _time_chained(chained, sets, n, which)
 
 
+def skeleton(B, L, S):
+    """Decompose the 0-layer skeleton (round-5: 15.8 ms at B=32 L=9216 — as
+    large as either attention half): final LN, gather+heads, entry, and the
+    chained-harness floor (unpack + qual normalise + carry updates)."""
+    full0 = step_variant(B, L, S, layers=0, counting=False,
+                         label="0 layers (entry+LNf+heads)")
+    no_lnf = step_variant(B, L, S, layers=0, counting=False, final_ln=False,
+                          label="0 layers, no final LN")
+    no_heads = step_variant(B, L, S, layers=0, counting=False, heads=False,
+                            label="0 layers, no LNf/heads")
+    floor = step_variant(B, L, S, layers=0, counting=False, heads=False,
+                         entry=False, label="harness floor (no entry)")
+    print(f"\nfinal LN = {(full0 - no_lnf)*1e3:.2f} ms")
+    print(f"gather+heads = {(no_lnf - no_heads)*1e3:.2f} ms")
+    print(f"entry embed = {(no_heads - floor)*1e3:.2f} ms")
+    print(f"harness floor (unpack+qual+carry) = {floor*1e3:.2f} ms")
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 4608
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     print(f"fused ablation B={B} L={L} S={S} backend={jax.default_backend()}",
           flush=True)
+    if "--skeleton" in sys.argv:
+        skeleton(B, L, S)
+        return
 
     full = step_variant(B, L, S, label="full step")
     no_cnt = step_variant(B, L, S, counting=False, label="no counting")

@@ -94,14 +94,18 @@ def main() -> None:
     cfg, params = load_model(ckpt)
     runner = CorrectionRunner(cfg, params)
 
+    from herro_tpu.features import extract as extract_mod
+
     acct = {
         k: StageAcct(k)
         for k in ("tensorize", "collate", "dispatch", "finalize", "extract")
     }
     engine.tensorize = acct["tensorize"].wrap(batching.tensorize)
     batching.collate = acct["collate"].wrap(batching.collate)
-    engine.extract_read_features = acct["extract"].wrap(
-        engine.extract_read_features
+    # the engine imports extract_read_tensors inside run_correction, so
+    # wrapping the module attribute catches the live path
+    extract_mod.extract_read_tensors = acct["extract"].wrap(
+        extract_mod.extract_read_tensors
     )
     runner.dispatch = acct["dispatch"].wrap(runner.dispatch)
     runner.finalize = acct["finalize"].wrap(runner.finalize)
