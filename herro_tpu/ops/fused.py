@@ -924,62 +924,57 @@ def _banded_flash_outproj_kernel(
 
 def _banded_flash_outproj_rot_kernel(
     len_ref,  # SMEM [B]
-    q_ref,  # VMEM [1, H, blk, D]
-    k0_ref, k1_ref, k2_ref,  # VMEM [1, H, blk, D] — rotation slots
-    v0_ref, v1_ref, v2_ref,
-    x_ref,  # VMEM [1, blk, d_model]
-    wo_ref,  # VMEM [H, D, d_model]
-    bo_ref,  # VMEM [1, d_model]
-    o_ref,  # VMEM [1, blk, d_model]
-    *,
+    *refs,  # q, M k-slots, M v-slots, x, wo, bo, o   (M = 2*n_side+1)
     blk: int,
     nq: int,
+    n_side: int,
     scale: float,
 ):
+    M = 2 * n_side + 1
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + M]
+    v_refs = refs[1 + M : 1 + 2 * M]
+    x_ref, wo_ref, bo_ref, o_ref = refs[1 + 2 * M :]
+
     qi = pl.program_id(1)
     length = len_ref[pl.program_id(0)]
     H = q_ref.shape[1]
 
-    # iq - ik plane shared by both triangular band edges; with the band
-    # block-aligned (w == blk) slot offset j in {-1, 0, +1} reduces the band
-    # test to d0 * j >= 0 (j=-1: ik >= iq; j=+1: ik <= iq; j=0: everything).
+    # iq - ik plane shared by the two triangular band edges. With the band
+    # block-aligned (w == n_side*blk) only the outermost slots need a
+    # triangle: offset j = -n_side demands ik >= iq, j = +n_side ik <= iq,
+    # |j| < n_side is always in band — d0 * j >= 0 with d0 scaled by
+    # whether |j| == n_side covers all three cases in one expression.
     d0 = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0) - \
         jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     ik_row = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
 
-    base = qi - 1
-    k_refs = (k0_ref, k1_ref, k2_ref)
-    v_refs = (v0_ref, v1_ref, v2_ref)
-    slot_off = []
+    base = qi - n_side
     masks = []
-    for m in range(3):
-        j = ((m - base) % 3) - 1  # this slot's block offset from qi
+    for m in range(M):
+        j = ((m - base) % M) - n_side  # this slot's block offset from qi
         b_raw = qi + j
         valid = jnp.logical_and(b_raw >= 0, b_raw < nq)
-        mask = (
-            (d0 * j >= 0)
-            & ((b_raw * blk + ik_row) < length)
-            & valid
-        )
-        slot_off.append(j)
-        masks.append(mask)
+        edge = jnp.abs(j) == n_side  # only edge slots carry a triangle
+        band = d0 * jnp.where(edge, j, 0) >= 0
+        masks.append(band & ((b_raw * blk + ik_row) < length) & valid)
 
     acc = jnp.zeros((blk, x_ref.shape[-1]), dtype=jnp.float32)
     for h in range(H):
         qh = q_ref[0, h]  # [blk, D]
         parts = []
-        for m in range(3):
+        for m in range(M):
             s = scale * jax.lax.dot_general(
                 qh, k_refs[m][0, h],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [blk, blk]
             parts.append(jnp.where(masks[m], s, NEG_INF))
-        s = jnp.concatenate(parts, axis=1)  # [blk, 3*blk] slot order
+        s = jnp.concatenate(parts, axis=1)  # [blk, M*blk] slot order
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        v_cat = jnp.concatenate([v_refs[m][0, h] for m in range(3)], axis=0)
+        v_cat = jnp.concatenate([v_refs[m][0, h] for m in range(M)], axis=0)
         pv = jax.lax.dot_general(
             p.astype(v_cat.dtype), v_cat,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -998,36 +993,41 @@ def _banded_flash_outproj_rot_kernel(
 
 
 def _banded_flash_outproj_rot_pallas(
-    q, k, v, x, wo, bo, lengths, local_window, blk: int = 512,
+    q, k, v, x, wo, bo, lengths, local_window, blk: int = 256,
     interpret: bool = False,
 ):
-    """Rotation-slot banded flash for the production shape (w == blk):
+    """Rotation-slot banded flash for block-aligned bands (w % blk == 0):
     heads fold into the kernel (grid (B, nq)) and K/V tile slot m always
-    holds the block ≡ m (mod 3) inside [qi-1, qi+1], so as the query block
-    advances exactly ONE slot's tiles change and Mosaic's revisit cache
-    keeps the other two resident — per-program K/V traffic drops from 6
-    tiles to ~2, the bulk of the banded kernel's HBM bytes at L=9216
-    (per-head tiles refetched for every head were ~2/3 of its traffic).
-    Numerics: softmax/PV run over the slot-rotated key order, a pure
-    permutation of the contraction axis (outputs equal up to f32
-    accumulation order; parity tested against the jnp twin)."""
+    holds the block ≡ m (mod M) inside [qi-n_side, qi+n_side], so as the
+    query block advances exactly ONE slot's tiles change and Mosaic's
+    revisit cache keeps the rest resident — the tile-per-head kernel
+    refetched all 2M tiles for every (block, head) program, ~2/3 of its
+    HBM bytes at L=9216. blk=256 (M=5 at w=512) keeps the folded-head
+    working set inside the 16 MB VMEM scoped limit (blk=512 with folded
+    heads OOMs at 17.7 MB) and trims per-row band waste from 3*512 to
+    5*256 key columns. Numerics: softmax/PV run over the slot-rotated key
+    order, a pure permutation of the contraction axis (outputs equal up
+    to f32 accumulation order; parity tested against the jnp twin)."""
     B, H, L, D = q.shape
     d_model = x.shape[-1]
-    assert L % blk == 0 and local_window == blk, (L, blk, local_window)
+    assert L % blk == 0 and local_window % blk == 0, (L, blk, local_window)
     nq = L // blk
+    n_side = local_window // blk
+    M = 2 * n_side + 1
     scale = 1.0 / math.sqrt(D)
     kernel = functools.partial(
-        _banded_flash_outproj_rot_kernel, blk=blk, nq=nq, scale=scale,
+        _banded_flash_outproj_rot_kernel, blk=blk, nq=nq, n_side=n_side,
+        scale=scale,
     )
 
     def slot_spec(m):
         def idx(b, i, lens, m=m):
-            base = i - 1
-            return (b, 0, jnp.clip(base + ((m - base) % 3), 0, nq - 1), 0)
+            base = i - n_side
+            return (b, 0, jnp.clip(base + ((m - base) % M), 0, nq - 1), 0)
 
         return pl.BlockSpec((1, H, blk, D), idx, memory_space=pltpu.VMEM)
 
-    kv_specs = [slot_spec(m) for m in range(3)]
+    kv_specs = [slot_spec(m) for m in range(M)]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1060,13 +1060,13 @@ def _banded_flash_outproj_rot_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, L, d_model), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * L * 3 * blk * D + 2 * B * L * H * D * d_model,
+            flops=4 * B * H * L * M * blk * D + 2 * B * L * H * D * d_model,
             bytes_accessed=B * H * L * D * 2 * 3
             + 2 * B * L * d_model * x.dtype.itemsize,
-            transcendentals=B * H * L * 3 * blk,
+            transcendentals=B * H * L * M * blk,
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q, *([k] * 3), *([v] * 3), x, wo, bo[None, :])
+    )(lengths.astype(jnp.int32), q, *([k] * M), *([v] * M), x, wo, bo[None, :])
 
 
 def _banded_flash_outproj_pallas(
