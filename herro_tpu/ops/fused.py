@@ -1148,6 +1148,21 @@ def _flash_outproj_pallas(
     q, k, v, x, wo, bo, lengths, local_window,
     blk_q: int = 512, blk_k: int = 512,
 ):
+    import os
+
+    # Kernel choice for the banded case (production): the rotation-slot
+    # folded-head kernel measures 8.34 vs 9.20 ms/layer-call at d512/H4
+    # L=9216 (tools/micro_flash.py, on-chip A/B, parity 2 bf16 ulps).
+    # HERRO_TPU_FLASH=tile restores the tile-per-head kernel.
+    if (
+        local_window is not None
+        and local_window % 256 == 0
+        and q.shape[2] % 256 == 0
+        and os.environ.get("HERRO_TPU_FLASH", "rot") == "rot"
+    ):
+        return _banded_flash_outproj_rot_pallas(
+            q, k, v, x, wo, bo, lengths, local_window, blk=256
+        )
     if local_window is not None and q.shape[2] % max(blk_q, blk_k) == 0:
         return _banded_flash_outproj_pallas(
             q, k, v, x, wo, bo, lengths, local_window, blk=max(blk_q, blk_k)

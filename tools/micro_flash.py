@@ -28,7 +28,7 @@ from herro_tpu.ops.fused import (
 )
 
 
-def time_variant(fn, B, H, L, D, d, lengths, n=20) -> float:
+def time_variant(fn, B, H, L, D, d, lengths, n=50) -> float:
     rng = np.random.default_rng(0)
     wo = jnp.asarray(rng.normal(0, 0.05, (H, D, d)), jnp.bfloat16)
     bo = jnp.asarray(rng.normal(0, 0.05, (d,)), jnp.bfloat16)
@@ -47,8 +47,15 @@ def time_variant(fn, B, H, L, D, d, lengths, n=20) -> float:
         k = jnp.asarray(r.normal(0, 1, (B, H, L, D)), jnp.bfloat16)
         v = jnp.asarray(r.normal(0, 1, (B, H, L, D)), jnp.bfloat16)
         x = jnp.asarray(r.normal(0, 1, (B, L, d)), jnp.bfloat16)
+        # settle the ~1.2 GB of inputs on device BEFORE the timed region
+        # (block_until_ready is unreliable on the axon remote executor —
+        # force tiny real fetches instead); the dispatch would otherwise
+        # wait on the tunnel uploads and read ~50x high
+        for a in (q, k, v, x):
+            np.asarray(jnp.sum(a[:1, :1]))
         t0 = time.perf_counter()
-        np.asarray(g(q, k, v, x))
+        out = g(q, k, v, x)
+        np.asarray(out[0, 0, :128])  # small real fetch; output whole on dev
         dt = (time.perf_counter() - t0) / n
         if seed > 3:  # first run pays compile
             best = min(best, dt)

@@ -179,7 +179,7 @@ def build(mode: str, B, L, d, H, D, blk_t=512):
     return f
 
 
-def time_variant(mode: str, B, L, d=512, H=4, D=128, n=20) -> float:
+def time_variant(mode: str, B, L, d=512, H=4, D=128, n=50) -> float:
     f = build(mode, B, L, d, H, D)
 
     def chained(x, scale, bias, w, b):
@@ -204,8 +204,12 @@ def time_variant(mode: str, B, L, d=512, H=4, D=128, n=20) -> float:
     best = float("inf")
     for seed in (3, 4, 5):
         x = jnp.asarray(rng.normal(0, 1, (B, L, d)), jnp.bfloat16)
+        # settle the 300 MB input on device before timing (tiny real fetch;
+        # block_until_ready is unreliable on the axon remote executor)
+        np.asarray(jnp.sum(x[:1, :1]))
         t0 = time.perf_counter()
-        np.asarray(g(x, scale, bias, w, b))
+        out = g(x, scale, bias, w, b)
+        np.asarray(out[0, :1, :128])  # small real fetch
         dt = (time.perf_counter() - t0) / n
         if seed > 3:  # first run pays compile
             best = min(best, dt)
