@@ -542,7 +542,6 @@ def _ln_qkv_rope_kernel(
     *,
     n_heads: int,
     blk_t: int,
-    rope_roll: bool = False,
 ):
     y = layernorm(x_ref[0], scale_ref[0], bias_ref[0])
     qkv = (
@@ -558,56 +557,120 @@ def _ln_qkv_rope_kernel(
     D = q_ref.shape[-1]
     pos0 = pl.program_id(1) * blk_t  # positions are the absolute column
     cos, sin = _rope_tables_blk(pos0, blk_t, D // 2)
-    if rope_roll:
-        cos_d = jnp.concatenate([cos, cos], axis=1)
-        sin_signed = jnp.concatenate([-sin, sin], axis=1)
-        rope = lambda t: _rope_apply_roll(t, cos_d, sin_signed)
-    else:
-        rope = lambda t: _rope_apply(t, cos, sin)
+    rope = lambda t: _rope_apply(t, cos, sin)
     for h in range(H):
         q_ref[0, h] = rope(qkv[:, h * D : (h + 1) * D])
         k_ref[0, h] = rope(qkv[:, (H + h) * D : (H + h + 1) * D])
         v_ref[0, h] = qkv[:, (2 * H + h) * D : (2 * H + h + 1) * D]
 
 
+def _ln_qkv_rope_tbl_kernel(
+    x_ref,  # VMEM [1, blk_t, d]
+    scale_ref, bias_ref,  # VMEM [1, d]
+    w_ref,  # VMEM [d, 3*H*D]
+    b_ref,  # VMEM [1, 3*H*D]
+    cos_ref, sin_ref,  # VMEM [blk_t, D]: cos duplicated / sin sign-split
+    q_ref, k_ref, v_ref,  # VMEM [1, H, blk_t, D] each
+    *,
+    n_heads: int,
+):
+    """Table-fed rotary epilogue: the on-chip A/B (tools/micro_rope.py at
+    d512/H4 L=9216) put the in-kernel exp/cos/sin table build at ~0.9 ms of
+    the 6.9 ms layer call — with tables arriving as a grid-indexed input the
+    rope epilogue costs ~nothing over the no-rope floor (5.95 vs 5.90
+    ms/iter; split-half in-kernel 6.87, rmat 7.07). The rotation itself is
+    one lane roll (_rope_apply_roll)."""
+    y = layernorm(x_ref[0], scale_ref[0], bias_ref[0])
+    qkv = (
+        jax.lax.dot_general(
+            y, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[...].astype(jnp.float32)
+    ).astype(q_ref.dtype)  # [blk_t, 3*H*D]
+
+    H = n_heads
+    D = q_ref.shape[-1]
+    cos_d, sin_signed = cos_ref[...], sin_ref[...]
+    rope = lambda t: _rope_apply_roll(t, cos_d, sin_signed)
+    for h in range(H):
+        q_ref[0, h] = rope(qkv[:, h * D : (h + 1) * D])
+        k_ref[0, h] = rope(qkv[:, (H + h) * D : (H + h + 1) * D])
+        v_ref[0, h] = qkv[:, (2 * H + h) * D : (2 * H + h + 1) * D]
+
+
+def _rope_tables_full(L: int, D: int):
+    """cos_d / sin_signed [L, D] f32 for the table-fed rope kernel: XLA
+    computes these once per compiled step (they depend only on the static
+    bucket length), vs ~L*D/2 transcendentals per pallas *program* when
+    built in-kernel."""
+    pos = jnp.arange(L, dtype=jnp.float32)[:, None]
+    half = D // 2
+    freq = jnp.exp(
+        -math.log(10000.0)
+        * jnp.arange(half, dtype=jnp.float32)[None, :] / half
+    )
+    ang = pos * freq
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    cos_d = jnp.concatenate([cos, cos], axis=1)
+    sin_signed = jnp.concatenate([-sin, sin], axis=1)
+    return cos_d, sin_signed
+
+
 def _ln_qkv_rope_pallas(x, scale, bias, w, b, n_heads: int, blk_t: int = 512,
-                        rope_roll: bool | None = None):
+                        rope_tbl: bool | None = None):
     B, L, d = x.shape
     H = n_heads
     D = w.shape[1] // (3 * H)
     blk_t = min(blk_t, L)
     assert L % blk_t == 0, (L, blk_t)
-    if rope_roll is None:
+    if rope_tbl is None:
         import os
 
-        # experiment knob until the on-chip A/B (tools/micro_rope.py) picks
-        # a default: HERRO_TPU_ROPE=roll switches the rotary epilogue to the
-        # lane-rotation formulation
-        rope_roll = os.environ.get("HERRO_TPU_ROPE", "split") == "roll"
-    kernel = functools.partial(
-        _ln_qkv_rope_kernel, n_heads=H, blk_t=blk_t, rope_roll=rope_roll
-    )
+        # table-fed rope is the measured default (tools/micro_rope.py);
+        # HERRO_TPU_ROPE=split restores the in-kernel split-half build
+        rope_tbl = os.environ.get("HERRO_TPU_ROPE", "tbl") == "tbl"
     out_shape = jax.ShapeDtypeStruct((B, H, L, D), x.dtype)
     out_spec = pl.BlockSpec(
         (1, H, blk_t, D), lambda b_, i: (b_, 0, i, 0), memory_space=pltpu.VMEM
     )
+    base_specs = [
+        pl.BlockSpec((1, blk_t, d), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * B * L * d * 3 * H * D,
+        bytes_accessed=(B * L * d + 3 * B * L * H * D) * x.dtype.itemsize,
+        transcendentals=B * L * D,
+    )
+    if rope_tbl:
+        cos_d, sin_signed = _rope_tables_full(L, D)
+        tbl_spec = pl.BlockSpec(
+            (blk_t, D), lambda b_, i: (i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            functools.partial(_ln_qkv_rope_tbl_kernel, n_heads=H),
+            grid=(B, L // blk_t),
+            in_specs=base_specs + [tbl_spec, tbl_spec],
+            out_specs=[out_spec, out_spec, out_spec],
+            out_shape=[out_shape, out_shape, out_shape],
+            cost_estimate=cost,
+        )(x, scale[None, :], bias[None, :], w, b[None, :], cos_d, sin_signed)
+    kernel = functools.partial(
+        _ln_qkv_rope_kernel, n_heads=H, blk_t=blk_t
+    )
     return pl.pallas_call(
         kernel,
         grid=(B, L // blk_t),
-        in_specs=[
-            pl.BlockSpec((1, blk_t, d), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * H * D), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=base_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[out_shape, out_shape, out_shape],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * d * 3 * H * D,
-            bytes_accessed=(B * L * d + 3 * B * L * H * D) * x.dtype.itemsize,
-            transcendentals=B * L * D,
-        ),
+        cost_estimate=cost,
     )(x, scale[None, :], bias[None, :], w, b[None, :])
 
 

@@ -139,9 +139,9 @@ def test_rot_banded_flash_outproj_interpret_matches_twin():
         )
 
 
-def test_rope_roll_matches_split_interpret():
-    """The lane-rotation rope epilogue must reproduce the split-half
-    formulation inside the fused LN+qkv kernel."""
+def test_rope_tbl_matches_split_interpret():
+    """The table-fed lane-rotation rope epilogue (production default) must
+    reproduce the in-kernel split-half formulation."""
     from herro_tpu.ops import fused
 
     B, L, d, H, D = 2, 128, 64, 2, 32
@@ -154,10 +154,10 @@ def test_rope_roll_matches_split_interpret():
 
     with pltpu.force_tpu_interpret_mode():
         ref = fused._ln_qkv_rope_pallas(
-            x, s1, b1, w, b, H, blk_t=64, rope_roll=False
+            x, s1, b1, w, b, H, blk_t=64, rope_tbl=False
         )
         got = fused._ln_qkv_rope_pallas(
-            x, s1, b1, w, b, H, blk_t=64, rope_roll=True
+            x, s1, b1, w, b, H, blk_t=64, rope_tbl=True
         )
     for a, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(g), atol=2e-5)
