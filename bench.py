@@ -81,7 +81,7 @@ def _device_only(batch_size: int, L: int, S: int, iters: int) -> float:
     return batch_size * iters / dt
 
 
-def _chip_only(batch_size: int, L: int, S: int, n: int = 10,
+def _chip_only(batch_size: int, L: int, S: int, n: int = 100,
                int8: bool = False) -> float:
     import dataclasses
 
@@ -92,9 +92,15 @@ def _chip_only(batch_size: int, L: int, S: int, n: int = 10,
     )
 
 
-def _chip_only_cfg(cfg, batch_size: int, L: int, S: int, n: int = 10) -> float:
+def _chip_only_cfg(cfg, batch_size: int, L: int, S: int, n: int = 100) -> float:
     """On-chip windows/s of the fused step: n data-dependent iterations
-    chained inside one jit, one dispatch, one (tiny) fetch."""
+    chained inside one jit, one dispatch, one (tiny) fetch.
+
+    n matters: the dev harness charges ~190 ms of dispatch+fetch overhead
+    per chained call (measured round 5 by varying n: t(n) = T + O/n with
+    O ~ 190 ms, T = 40.2 ms at B=32 L=9216), so the historic n=10 numbers
+    under-read true on-chip throughput by ~25-30%. n=100 leaves a ~2 ms/iter
+    (~5%) residual tax."""
     import jax
     import jax.numpy as jnp
 
