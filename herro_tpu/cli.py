@@ -114,8 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument(
         "--pipeline-depth",
         type=int,
-        default=3,
-        help="device batches kept in flight (async dispatch depth)",
+        default=8,
+        help="device batches kept in flight (async dispatch depth; deeper "
+        "pipelines hide per-batch device latency — on high-latency links "
+        "throughput scales with depth until the link saturates)",
     )
     pi.add_argument(
         "--profile-dir",

@@ -207,7 +207,7 @@ def run_correction(
     on_read_done: Callable[[int], None] | None = None,
     resume: bool = False,
     timers: StageTimers | None = None,
-    pipeline_depth: int = 3,
+    pipeline_depth: int = 8,
     counting_output_path: str | None = None,
     feat_procs: int = 0,
     featgen_pool=None,

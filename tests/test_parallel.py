@@ -37,6 +37,15 @@ def _run(step, params, batch):
     return np.asarray(info), np.asarray(classes), np.asarray(dec)
 
 
+def _run_packed(step, params, batch):
+    """Runner steps transport (info, decisions||classes [B, L+S]) — one
+    fetch per batch; split like CorrectionRunner._unpack does."""
+    info, packed = step(params, *batch)
+    packed = np.asarray(packed)
+    S = batch[2].shape[1]
+    return np.asarray(info), packed[:, -S:], packed[:, :-S]
+
+
 def test_tp_matches_single_device(setup):
     params, batch = setup
     base = _run(jax.jit(make_correct_step(CFG)), params, batch)
@@ -70,7 +79,7 @@ def test_tp_fast_path_matches_single_device(setup):
     mesh = make_mesh_2d(4, 2)
     runner = CorrectionRunner(CFG, params, mesh=mesh)
     assert runner.tp_fast_path, "tp=2 runner fell back to the GSPMD slow path"
-    tp = _run(runner._step, runner.params, batch)
+    tp = _run_packed(runner._step, runner.params, batch)
 
     np.testing.assert_allclose(tp[0], base[0], rtol=5e-4, atol=5e-4)
     assert (tp[1] == base[1]).mean() > 0.999
@@ -95,7 +104,7 @@ def test_tp_fast_path_production_widths():
     mesh = make_mesh_2d(2, 2)
     runner = CorrectionRunner(cfg, params, mesh=mesh)
     assert runner.tp_fast_path
-    tp = _run(runner._step, runner.params, batch)
+    tp = _run_packed(runner._step, runner.params, batch)
 
     # bf16 + different reduction order: compare decisions, not logits
     assert (tp[1] == base[1]).mean() > 0.99
