@@ -224,6 +224,15 @@ def _e2e(
         )
         import sys
 
+        # Contention strategy (round 5): the old single-attempt-vs-warmup
+        # floor check spiraled — warmup overlaps the jit compiles, so its
+        # featgen runs while the device pipeline stalls and sets a floor no
+        # timed pass can reach (every healthy run got "rerun" and each rerun
+        # raised the load average further). Instead: always take TWO timed
+        # passes (recording per-pass loads), add a THIRD only when they
+        # disagree >20% on throughput (one-sided transient contention), and
+        # report the best. Uniform external contention is visible in the
+        # recorded load fields and the start-of-bench quiet gate.
         attempts = []
         for attempt in range(3):
             loads = os.getloadavg()
@@ -255,19 +264,23 @@ def _e2e(
                 f"({timers.summary()}) load={loads[0]:.2f}/{loads[1]:.2f}",
                 file=sys.stderr,
             )
-            if warm_fg <= 0 or abs(fg / warm_fg - 1.0) <= 0.25:
-                break
-            print(
-                f"[bench e2e] featgen {fg * 1e3:.1f} ms/window deviates "
-                f">25% from warmup floor {warm_fg * 1e3:.1f} — host "
-                "contention suspected, rerunning",
-                file=sys.stderr,
-            )
-            _await_quiet_host()
-        best = min(attempts, key=lambda a: a["featgen_s_per_window"])
+            if len(attempts) >= 2:
+                rates = sorted(a["windows_per_s"] for a in attempts)
+                if rates[-1] / max(rates[0], 1e-9) <= 1.2:
+                    break
+                if attempt == 2:
+                    break
+                print(
+                    "[bench e2e] attempts disagree >20% — transient "
+                    "contention suspected, one more pass",
+                    file=sys.stderr,
+                )
+                time.sleep(20.0)
+        best = max(attempts, key=lambda a: a["windows_per_s"])
         info = dict(best)
         info["warmup_featgen_s_per_window"] = round(warm_fg, 5)
         info["n_attempts"] = len(attempts)
+        info["attempts"] = attempts
     return best["windows_per_s"], n_windows, info
 
 
@@ -313,7 +326,10 @@ def main(batch_size: int = 64, L: int = 4608, S: int = 128, iters: int = 20) -> 
     # host between the two so a job starting mid-bench can't poison run 2
     e2e_30x, _, info_30x = _e2e(n_reads=200, genome_len=150_000,
                                 ins_rate=0.02, feat_procs=feat_procs)
-    _await_quiet_host()
+    # softer mid-bench gate: the 1-min average still carries the bench's
+    # OWN just-finished run (featgen + device threads ~ load 1 on this
+    # one-core host); only guard against a genuinely busy host
+    _await_quiet_host(threshold=0.9, max_wait_s=180.0)
     e2e_90x, _, info_90x = _e2e(n_reads=264, genome_len=66_000,
                                 ins_rate=0.02, feat_procs=feat_procs)
 

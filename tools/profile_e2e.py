@@ -134,12 +134,13 @@ def main() -> None:
             -(-reads.length(rid) // window_size) for rid in grouped
         )
         timers = StageTimers()
+        depth = int(os.environ.get("HT_DEPTH", "8"))
         w0 = time.perf_counter()
         c0 = time.process_time()
         run_correction(
             reads, iter(grouped.items()), runner,
             os.path.join(tmp, "corrected.fasta"), window_size, batch_size,
-            bucket_spec=BucketSpec(), timers=timers,
+            bucket_spec=BucketSpec(), timers=timers, pipeline_depth=depth,
         )
         wall = time.perf_counter() - w0
         cpu = time.process_time() - c0
