@@ -276,8 +276,12 @@ def run_correction(
     # serialise the stages (round-3 bench: featgen 10.7s + device 8.6s of a
     # 22.9s run). Only add_result (consensus/batching state) stays
     # consumer-thread-only.
+    # Two fetch workers likewise: each finalize is one RTT-bound device
+    # fetch (~50-100 ms here) and the results feed a keyed accumulator —
+    # window decisions are order-independent, the consumer still drains the
+    # `pending` deque FIFO, and add_result stays consumer-thread-only.
     uploader = ThreadPoolExecutor(max_workers=2)
-    fetcher = ThreadPoolExecutor(max_workers=1)
+    fetcher = ThreadPoolExecutor(max_workers=2)
 
     skip: set[int] = set()
     if resume:
