@@ -305,9 +305,14 @@ def _ln_ffn_jnp(x, scale, bias, w1, b1, w2, b2):
     return (x + (h @ w2 + b2).astype(x.dtype)).astype(x.dtype)
 
 
-def _ln_ffn_pallas(x, scale, bias, w1, b1, w2, b2, blk_t: int = 256):
+def _ln_ffn_pallas(x, scale, bias, w1, b1, w2, b2, blk_t: int | None = None):
     T, d = x.shape
     f = w1.shape[1]
+    if blk_t is None:
+        # bigger token blocks amortize grid overhead (on-chip A/B at
+        # T=295k d512 f1024, tools/micro_ffn.py: 1024 -> 4.81, 512 -> 4.94,
+        # 256 -> 5.07 ms); fall back when T doesn't divide
+        blk_t = next(b for b in (1024, 512, 256, 128) if T % b == 0)
     assert T % blk_t == 0, (T, blk_t)
     return pl.pallas_call(
         _ln_ffn_kernel,
